@@ -1,0 +1,215 @@
+"""The CHORE field network: pixel-aligned implicit UDF/part/pose fields.
+
+TPU-native re-implementation of the reference CHORE model (reference:
+model/chore.py:10-257): a stacked-hourglass encoder over the 5-channel
+masked-RGB input and four per-point decoder heads:
+  df      (2)  human/object unsigned distance fields
+  pca     (9)  object rotation as 3 PCA axes
+  parts   (14) SMPL part logits
+  centers (6)  SMPL center xyz + object center offset xyz
+
+Everything is channels-last: points features are (B, N, F) and decoders are
+Dense stacks (a 1x1 Conv1d chain is a per-point MLP; reference:
+model/chore.py:74-85), which XLA maps onto the MXU as one (B*N, F) matmul
+per layer.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from chore_tpu.models.hourglass import HGFilter
+from chore_tpu.models.layers import conv_init
+from chore_tpu.ops.camera import PerspectiveCamera
+from chore_tpu.ops.grid_sample import bilinear_sample
+
+
+@dataclasses.dataclass(frozen=True)
+class FieldConfig:
+    """Static model/loss configuration (release values from
+    config/chore-release.json)."""
+
+    num_stack: int = 5
+    num_hourglass: int = 2  # hourglass depth
+    hourglass_dim: int = 256
+    hidden_dim: int = 128
+    num_parts: int = 14
+    input_channels: int = 5  # RGBM3
+    crop_size: int = 1200  # loadSize
+    net_img_size: int = 512
+    z0: float = 2.2
+    out_dist: float = 5.0  # df for points outside the image (chore.py:65)
+    clamp_thres: float = 0.1
+    # weights for [df_h, df_o, parts, pca, obj_center, smpl_center]
+    # (reference: chore.py:62)
+    loss_weights: Sequence[float] = (1.0, 1.0, 0.006, 500.0, 1000.0, 1000.0)
+
+    @property
+    def feature_size(self):
+        # 256 hourglass + 3 xyz z-feat + 64 stem skip (chore.py:44-45)
+        return self.hourglass_dim + 3 + 64
+
+
+class Decoder(nn.Module):
+    """Per-point MLP head: in -> h -> h -> h -> out with ReLU
+    (reference: chore.py:74-85 with group_sz=1)."""
+
+    hidden: int
+    out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(3):
+            x = nn.Dense(self.hidden, kernel_init=conv_init, dtype=self.dtype,
+                         name=f"fc{i}")(x)
+            x = nn.relu(x)
+        return nn.Dense(self.out, kernel_init=conv_init, dtype=self.dtype,
+                        name="fc_out")(x)
+
+
+class CHOREField(nn.Module):
+    """Encoder + 4 decoder heads. Use ``encode`` once per image, then
+    ``query`` any number of times (the fitting loops re-query constantly)."""
+
+    cfg: FieldConfig = FieldConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.image_filter = HGFilter(
+            num_stack=c.num_stack,
+            depth=c.num_hourglass,
+            features=256,
+            out_dim=c.hourglass_dim,
+            dtype=self.dtype,
+            name="image_filter",
+        )
+        self.df = Decoder(c.hidden_dim, 2, self.dtype, name="df")
+        self.pca_predictor = Decoder(c.hidden_dim, 9, self.dtype, name="pca")
+        self.part_predictor = Decoder(c.hidden_dim, c.num_parts, self.dtype,
+                                      name="parts")
+        self.center_predictor = Decoder(c.hidden_dim, 6, self.dtype,
+                                        name="centers")
+        self.camera = PerspectiveCamera(crop_size=c.crop_size)
+
+    def encode(self, images, train: bool = True):
+        """images (B, H, W, 5) -> (feature list, tmpx skip feature)."""
+        outputs, tmpx, _normx = self.image_filter(images, train=train)
+        return outputs, tmpx
+
+    def decode(self, features):
+        """(B, N, F) point features -> dict of head outputs
+        (reference: chore.py:156-167)."""
+        df = self.df(features)  # (B, N, 2)
+        pca = self.pca_predictor(features)
+        parts = self.part_predictor(features)
+        centers = self.center_predictor(features)
+        return {
+            "df": df,
+            "pca": pca.reshape(*pca.shape[:-1], 3, 3),
+            "parts": parts,
+            "centers": centers,
+        }
+
+    def query(self, feats, tmpx, points, crop_center):
+        """Query the fields at 3D points.
+
+        Args:
+          feats: list of (B, Hf, Wf, C) encoder outputs (one per stack).
+          tmpx: (B, Ht, Wt, 64) stem skip feature.
+          points: (B, N, 3) camera-space points.
+          crop_center: (B, 2) crop center in original image pixels.
+
+        Returns:
+          list (one per stack) of head dicts; ``df`` of out-of-image points
+          is forced to OUT_DIST (reference: chore.py:130,146-150).
+        """
+        c = self.cfg
+        xyz = self.camera.project_points(points, crop_center)
+        xy = xyz[..., :2]  # (B, N, 2) in [-1, 1]
+        # z-feature: [x, y, z - z0] (reference: chore.py:128-129)
+        z_feat = jnp.concatenate(
+            [points[..., 0:2], points[..., 2:3] - c.z0], axis=-1
+        )
+        in_img = (
+            (xy[..., 0] >= -1.0)
+            & (xy[..., 0] <= 1.0)
+            & (xy[..., 1] >= -1.0)
+            & (xy[..., 1] <= 1.0)
+        )
+        tmpx_local = bilinear_sample(tmpx, xy)  # (B, N, 64)
+
+        preds_list = []
+        for feat in feats:
+            point_feat = jnp.concatenate(
+                [bilinear_sample(feat, xy), z_feat, tmpx_local], axis=-1
+            )
+            preds = self.decode(point_feat)
+            preds["df"] = jnp.where(
+                in_img[..., None], preds["df"], c.out_dist
+            )
+            preds_list.append(preds)
+        return preds_list
+
+    def __call__(self, images, points, crop_center, train: bool = True):
+        feats, tmpx = self.encode(images, train=train)
+        return self.query(feats, tmpx, points, crop_center)
+
+
+def chore_losses(preds_list, batch, cfg: FieldConfig):
+    """Training losses, averaged over stacks (reference: chore.py:192-242).
+
+    batch keys: df_h (B,N), df_o (B,N), parts (B,N) int, pca (B,N,3,3),
+    body_center (B,3), obj_center (B,3) [relative to body center].
+
+    Returns (total_scalar, dict of the 6 unweighted-name losses).
+    """
+    w = cfg.loss_weights
+    clamp = cfg.clamp_thres
+    names = ["df_h", "df_o", "parts", "pca", "smpl_center", "obj_center"]
+    totals = {n: 0.0 for n in names}
+
+    df_h_gt = jnp.clip(batch["df_h"], max=clamp)
+    df_o_gt = jnp.clip(batch["df_o"], max=clamp)
+    mask_o = (batch["df_o"] < 0.05).astype(jnp.float32)  # (B, N)
+    mask_h = (batch["df_h"] < 0.05).astype(jnp.float32)
+
+    for preds in preds_list:
+        df = preds["df"]  # (B, N, 2)
+        # clamped L1, summed over points, mean over batch (chore.py:239-242)
+        loss_h = jnp.abs(jnp.clip(df[..., 0], max=clamp) - df_h_gt).sum(-1).mean()
+        loss_o = jnp.abs(jnp.clip(df[..., 1], max=clamp) - df_o_gt).sum(-1).mean()
+
+        logp = jax.nn.log_softmax(preds["parts"], axis=-1)
+        ce = -jnp.take_along_axis(
+            logp, batch["parts"][..., None].astype(jnp.int32), axis=-1
+        )[..., 0]
+        loss_parts = ce.sum(-1).mean()
+
+        # masked mean over ALL elements (incl. masked-out), matching the
+        # reference's (mse * mask).mean() (chore.py:213-226)
+        pca_err = (preds["pca"] - batch["pca"]) ** 2
+        loss_pca = jnp.mean(pca_err * mask_o[..., None, None])
+
+        oc_err = (preds["centers"][..., 3:] - batch["obj_center"][:, None, :]) ** 2
+        loss_oc = jnp.mean(oc_err * mask_o[..., None])
+
+        sc_err = (preds["centers"][..., :3] - batch["body_center"][:, None, :]) ** 2
+        loss_sc = jnp.mean(sc_err * mask_h[..., None])
+
+        totals["df_h"] += loss_h * w[0]
+        totals["df_o"] += loss_o * w[1]
+        totals["parts"] += loss_parts * w[2]
+        totals["pca"] += loss_pca * w[3]
+        totals["obj_center"] += loss_oc * w[4]
+        totals["smpl_center"] += loss_sc * w[5]
+
+    n = len(preds_list)
+    totals = {k: v / n for k, v in totals.items()}
+    error = sum(totals.values())
+    return error, totals

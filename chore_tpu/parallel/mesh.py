@@ -1,0 +1,67 @@
+"""Device mesh + sharding helpers: the TPU-native replacement for the
+reference's entire distributed stack (DDP/NCCL/DistributedSampler/barriers,
+reference: utils/dist_utils.py:12-75, train_launch.py:29-30,68).
+
+Design (SURVEY.md section 2.10): a 1-D mesh over all chips with the batch
+sharded on the 'data' axis. Gradient all-reduce, metric reduction and the
+rendezvous barrier all disappear into XLA collectives inserted by pjit --
+there is no communication code to maintain.
+
+Multi-host: call ``init_distributed()`` once per process; jax.distributed
+wires DCN. Checkpoints/logs gate on ``is_main_process()``.
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(coordinator=None, num_processes=None, process_id=None):
+    """Multi-host init (replaces dist.init_process_group, dist_utils.py:28-33).
+
+    No-op single-host; on a pod slice the standard env (MEGASCALE/JAX coords)
+    is picked up automatically.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator, num_processes, process_id)
+
+
+def is_main_process():
+    """Rank-0 gating for checkpoints/logs (reference: dist_utils.py:57-62)."""
+    return jax.process_index() == 0
+
+
+def make_mesh(axis="data", devices=None):
+    """1-D mesh over all (or the given) devices."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def data_sharding(mesh, axis="data"):
+    """Sharding that splits the leading (batch) dim across the mesh."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicate(tree, mesh):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    s = NamedSharding(mesh, P())
+    return jax.device_put(tree, s)
+
+
+def shard_batch(batch, mesh, axis="data"):
+    """Place a host batch with its leading dim sharded across the mesh.
+
+    Replaces DistributedSampler + pin_memory + .cuda(non_blocking) of the
+    reference (base_data.py:49-61, trainer.py:88-100): one device_put with a
+    NamedSharding moves and splits in a single step.
+    """
+    s = data_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def local_batch_slice(global_batch_size):
+    """Per-process slice of the global batch (multi-host data loading)."""
+    per = global_batch_size // jax.process_count()
+    start = jax.process_index() * per
+    return slice(start, start + per)

@@ -1,0 +1,98 @@
+"""Checkpointing with best-validation pointer semantics.
+
+Reproduces the reference's checkpoint contract (reference:
+trainer/trainer.py:186-232,294-322):
+  * files named ``checkpoint_{h}h:{m}m:{s}s_{secs}.ckpt`` keyed by cumulative
+    training wall time,
+  * a ``val_min={epoch}.npz`` marker holding [epoch, val_loss, ck_file],
+  * loading prefers the val_min checkpoint, else latest-by-time,
+  * "best" accepts val_loss <= val_min + 1.0 (trainer.py:304).
+
+Serialization is flax msgpack of {params, opt_state, epoch, training_time}.
+Writes are main-process-only (the caller gates).
+"""
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+from flax import serialization
+
+
+def _convert_secs(sec):
+    return int(sec // 3600), int((sec // 60) % 60), int(sec % 60)
+
+
+def checkpoint_name(training_time):
+    h, m, s = _convert_secs(training_time)
+    return f"checkpoint_{h}h:{m}m:{s}s_{training_time}.ckpt"
+
+
+def save_checkpoint(ckpt_dir, state, training_time, epoch):
+    """state: dict pytree {params, opt_state}; returns the file name."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    name = checkpoint_name(training_time)
+    path = os.path.join(ckpt_dir, name)
+    if os.path.isfile(path):
+        return name
+    payload = {
+        "state": state,
+        "epoch": np.asarray(epoch),
+        "training_time": np.asarray(training_time),
+    }
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(payload))
+    return name
+
+
+def _latest_checkpoint(ckpt_dir):
+    files = glob.glob(os.path.join(ckpt_dir, "checkpoint_*.ckpt"))
+    if not files:
+        return None
+    times = [float(os.path.splitext(os.path.basename(p))[0].split("_")[-1])
+             for p in files]
+    return files[int(np.argmax(times))]
+
+
+def find_checkpoint(exp_dir):
+    """val_min pointer first, else latest (reference: generator.py:230-241)."""
+    ckpt_dir = os.path.join(exp_dir, "checkpoints")
+    pointer = glob.glob(os.path.join(exp_dir, "val_min=*"))
+    if pointer:
+        log = np.load(pointer[0], allow_pickle=True)
+        arr = log["data"] if hasattr(log, "files") else log
+        path = os.path.join(ckpt_dir, str(arr[2]))
+        if os.path.isfile(path):
+            return path
+    return _latest_checkpoint(ckpt_dir)
+
+
+def load_checkpoint(path, state_template):
+    """Restore {state, epoch, training_time} from a checkpoint file."""
+    with open(path, "rb") as f:
+        payload = serialization.from_bytes(
+            {
+                "state": state_template,
+                "epoch": np.asarray(0),
+                "training_time": np.asarray(0.0),
+            },
+            f.read(),
+        )
+    return payload["state"], int(payload["epoch"]), float(payload["training_time"])
+
+
+def update_val_min(exp_dir, epoch, val_loss, ck_file):
+    """Maintain the best-val pointer (reference: trainer.py:294-322):
+    accept if val_loss <= stored + 1.0; store [epoch, val_loss, ck_file]."""
+    pointer = glob.glob(os.path.join(exp_dir, "val_min=*"))
+    if pointer:
+        log = np.load(pointer[0], allow_pickle=True)
+        arr = log["data"] if hasattr(log, "files") else log
+        if float(arr[1]) + 1.0 < val_loss:
+            return False
+        for p in pointer:
+            os.remove(p)
+    path = os.path.join(exp_dir, f"val_min={epoch}.npz")
+    np.savez(path, data=np.array([epoch, val_loss, ck_file], dtype=object))
+    return True

@@ -1,0 +1,117 @@
+"""Trainer + checkpoint + multi-device sharding tests (8-dev CPU mesh)."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from chore_tpu.models import CHOREField, FieldConfig
+from chore_tpu.parallel import make_mesh, shard_batch
+from chore_tpu.train import Trainer, multistep_lr, update_val_min, find_checkpoint
+
+TINY = FieldConfig(num_stack=1, num_hourglass=2, net_img_size=32)
+
+
+def make_batch(rng, B=8, N=32, img=32):
+    return {
+        "images": rng.rand(B, img, img, 5).astype(np.float32),
+        "points": (rng.rand(B, N, 3) * [2, 2, 0.5] + [-1, -1, 1.95]).astype(np.float32),
+        "crop_center": np.tile([[1018.0, 779.0]], (B, 1)).astype(np.float32),
+        "df_h": np.abs(rng.randn(B, N)).astype(np.float32) * 0.05,
+        "df_o": np.abs(rng.randn(B, N)).astype(np.float32) * 0.05,
+        "parts": rng.randint(0, 14, (B, N)).astype(np.int32),
+        "pca": np.tile(np.eye(3, dtype=np.float32), (B, N, 1, 1)),
+        "body_center": np.tile([[0.0, 0, 2.2]], (B, 1)).astype(np.float32),
+        "obj_center": np.tile([[0.3, 0, 0.0]], (B, 1)).astype(np.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def trainer(tmp_path_factory):
+    model = CHOREField(cfg=TINY)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 32, 32, 5)),
+        jnp.zeros((1, 8, 3)),
+        jnp.zeros((1, 2)),
+    )
+    exp_dir = str(tmp_path_factory.mktemp("exp"))
+    return Trainer(model, params, exp_dir, mesh=make_mesh(), ck_period_min=1e9)
+
+
+class TestMultistepLR:
+    def test_schedule(self):
+        lr = multistep_lr(1e-3, (15, 25), 0.3)
+        assert np.isclose(lr(0), 1e-3)
+        assert np.isclose(lr(15), 3e-4)
+        assert np.isclose(lr(25), 9e-5)
+
+
+class TestTrainer:
+    def test_uses_all_8_devices(self, trainer):
+        assert len(jax.devices()) == 8
+        assert trainer.mesh.devices.size == 8
+
+    def test_loss_decreases(self, trainer, rng):
+        batch = make_batch(rng)
+        losses = [float(trainer.train_step(batch)[0]) for _ in range(8)]
+        assert losses[-1] < losses[0]
+
+    def test_sharded_matches_replicated_semantics(self, rng):
+        # the loss on a sharded batch equals the loss computed single-device
+        model = CHOREField(cfg=TINY)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 5)),
+            jnp.zeros((1, 8, 3)), jnp.zeros((1, 2)))
+        batch = make_batch(rng)
+        from chore_tpu.models import chore_losses
+
+        def loss_fn(params, batch):
+            preds = model.apply(params, batch["images"], batch["points"],
+                                batch["crop_center"])
+            return chore_losses(preds, batch, TINY)[0]
+
+        single = float(loss_fn(params, jax.tree_util.tree_map(jnp.asarray, batch)))
+        mesh = make_mesh()
+        sharded_batch = shard_batch(batch, mesh)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        f = jax.jit(loss_fn,
+                    in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))))
+        from chore_tpu.parallel import replicate
+
+        sharded = float(f(replicate(params, mesh), sharded_batch))
+        assert np.isclose(single, sharded, rtol=1e-4)
+
+    def test_checkpoint_roundtrip(self, trainer, rng):
+        trainer.training_time = 42.0
+        trainer.epoch = 3
+        name = trainer.save()
+        assert name is not None
+        p0 = jax.device_get(trainer.params)
+        trainer.epoch = 0
+        assert trainer.load()
+        assert trainer.epoch == 3
+        p1 = jax.device_get(trainer.params)
+        chex = [np.allclose(a, b) for a, b in zip(
+            jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1))]
+        assert all(chex)
+
+    def test_val_min_pointer(self, tmp_path):
+        d = str(tmp_path)
+        assert update_val_min(d, 1, 10.0, "ck1")
+        assert update_val_min(d, 2, 10.5, "ck2")  # within +1.0 tolerance
+        assert not update_val_min(d, 3, 99.0, "ck3")  # rejected
+        files = os.listdir(d)
+        assert any(f.startswith("val_min=2") for f in files)
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip_8(self):
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)

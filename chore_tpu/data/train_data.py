@@ -1,0 +1,120 @@
+"""Training dataset over preprocessed boundary-sample npz files.
+
+Mirrors the reference BehaveDataset (reference: data/train_data.py:9-150):
+per item, subsample ``total_samplenum`` points from the per-sigma boundary
+samples at the release ratios, attach UDFs/parts/PCA/centers, and build the
+5-channel 512^2 crop around the mask-union bbox center.
+
+Output arrays are channels-last and batch-ready for
+``parallel.shard_batch``.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from chore_tpu.data import image_ops as iops
+
+
+class BehaveTrainData:
+    def __init__(self, data_paths, phase="train",
+                 total_samplenum=20000,
+                 image_size=(512, 512),
+                 ratios=(0.01, 0.49, 0.5),
+                 sigmas=(0.08, 0.02, 0.003),
+                 random_flip=False,
+                 aug_blur=0.0,
+                 crop_size=1200,
+                 z0=2.2,
+                 seed=0):
+        assert phase in ("train", "val", "test")
+        self.data_paths = list(data_paths)
+        self.phase = phase
+        self.img_size = tuple(image_size)
+        self.crop_size = np.array([crop_size, crop_size])
+        self.total_sample_num = total_samplenum
+        self.sample_nums = [int(total_samplenum * r) for r in ratios]
+        self.sigmas = list(sigmas)
+        self.random_flip = random_flip
+        self.aug_blur = aug_blur
+        self.z0 = z0
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.data_paths)
+
+    def get_item(self, idx):
+        path = self.data_paths[idx]
+        flip = bool(self.phase == "train" and self.random_flip
+                    and self.rng.rand() > 0.5)
+        if flip:
+            # mirrored GT with swapped left/right part labels
+            # (train_data.py:49-54)
+            path = path.replace(".npz", "_flip.npz")
+        data = np.load(path, allow_pickle=True)
+        res = self.get_samples(data)
+        images, center = self.prepare_image_crop(data, flip)
+        res["images"] = images
+        res["crop_center"] = center.astype(np.float32)
+        res["path"] = path
+        return res
+
+    def __getitem__(self, idx):
+        """Retry-on-exception with a random other sample
+        (reference: base_data.py:29-39)."""
+        try:
+            return self.get_item(idx)
+        except Exception as e:  # noqa: BLE001
+            ridx = int(self.rng.randint(0, len(self.data_paths)))
+            print(f"failed on {self.data_paths[idx]} ({e}), "
+                  f"retrying {self.data_paths[ridx]}")
+            return self[ridx]
+
+    def get_samples(self, data):
+        """Per-sigma subsampling (reference: train_data.py:69-113)."""
+        points, dfs_h, dfs_o, parts = [], [], [], []
+        for sigma, n in zip(self.sigmas, self.sample_nums):
+            key = f"sigma{sigma}"
+            pts = data["points"].item()[key]
+            choice = self.rng.choice(pts.shape[0], n, replace=False)
+            points.append(pts[choice])
+            dfs_h.append(data["dist_h"].item()[key][choice])
+            dfs_o.append(data["dist_o"].item()[key][choice])
+            parts.append(data["parts"].item()[key][choice])
+        points = np.concatenate(points, 0).astype(np.float32)
+        N = points.shape[0]
+
+        body_center = data["smpl_center"].astype(np.float32)
+        assert abs(body_center[2] - self.z0) < 1e-5, (
+            f"invalid smpl center {body_center}"
+        )
+        obj_center = data["obj_center"].astype(np.float32) - body_center
+        pca = np.asarray(data["pca_axis"], np.float32)  # (3, 3)
+        return {
+            "points": points,
+            "df_h": np.concatenate(dfs_h, 0).astype(np.float32),
+            "df_o": np.concatenate(dfs_o, 0).astype(np.float32),
+            "parts": np.concatenate(parts, 0).astype(np.int32),
+            "pca": np.tile(pca[None], (N, 1, 1)),
+            "body_center": body_center,
+            "obj_center": obj_center,
+        }
+
+    def prepare_image_crop(self, data, flip):
+        """Crop 1200^2 around the mask-union bbox center, resize to 512^2,
+        compose RGBM3 (reference: train_data.py:115-149)."""
+        rgb_file = str(data["image_file"])
+        person_mask, obj_mask = iops.load_masks(rgb_file, flip)
+        bmin, bmax = iops.masks2bbox([person_mask, obj_mask])
+        center = (bmin + bmax) // 2
+        ih, iw = person_mask.shape[:2]
+        assert 0 < center[0] < iw and 0 < center[1] < iw, (
+            f"invalid crop center {center} for {rgb_file}"
+        )
+        rgb = iops.load_rgb(rgb_file, flip, self.aug_blur, self.rng)
+        rgb = iops.resize(iops.crop(rgb, center, self.crop_size),
+                          self.img_size) / 255.0
+        pm = iops.resize(iops.crop(person_mask, center, self.crop_size),
+                         self.img_size) / 255.0
+        om = iops.resize(iops.crop(obj_mask, center, self.crop_size),
+                         self.img_size) / 255.0
+        return iops.compose_rgbm3(om, pm, rgb), center

@@ -1,0 +1,204 @@
+"""Differentiable silhouette + hard depth rasterization in pure XLA.
+
+Replaces the vendored neural_renderer CUDA extension (reference:
+external/neural_renderer/neural_renderer/cuda/rasterize_cuda_kernel.cu,
+868 lines of hand-written forward/backward) for the two things CHORE needs:
+  * a differentiable silhouette at 256^2 with per-example ROI intrinsics
+    (reference: recon/obj_pose_roi.py:69-86,159-172),
+  * a hard z-buffered face-index map for demo overlays
+    (reference: utils/render_utils.py).
+
+Instead of NMR's exact edge-gradient backward we use soft rasterization
+(SoftRas-style): per-pixel signed distance to each triangle -> sigmoid
+coverage -> soft-OR over faces computed in log space. This is naturally
+differentiable (XLA derives the backward), maps to the VPU as a dense
+pixels x faces computation, and is tiled over faces to bound memory.
+
+Conventions match NMR (projection.py:6-43, rasterize_cuda_kernel.cu:131-132):
+intrinsics in unit image coords (orig_size=1), v flipped, pixel centers at
+(2i+1)/S - 1 in NDC.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def project_unit_k(verts, K, eps=1e-9):
+    """Project (B, V, 3) camera-space verts with (B, 3, 3) unit-coord
+    intrinsics -> (B, V, 3) NDC [u, v, z] (v flipped, NMR convention)."""
+    x = verts[..., 0] / (verts[..., 2] + eps)
+    y = verts[..., 1] / (verts[..., 2] + eps)
+    u = K[..., 0:1, 0] * x + K[..., 0:1, 2]
+    v = K[..., 1:2, 1] * y + K[..., 1:2, 2]
+    v = 1.0 - v
+    return jnp.stack(
+        [2.0 * u - 1.0, 2.0 * v - 1.0, verts[..., 2]], axis=-1
+    )
+
+
+def _pixel_grid(image_size):
+    """(S*S, 2) NDC pixel centers, row-major (y, x) -> (x, y) coords."""
+    coords = (2.0 * jnp.arange(image_size) + 1.0) / image_size - 1.0
+    gy, gx = jnp.meshgrid(coords, coords, indexing="ij")
+    return jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
+
+
+def _edge_functions(pix, tri):
+    """Signed edge values for pixels vs triangles.
+
+    pix: (P, 2), tri: (F, 3, 2) NDC triangle verts.
+    Returns (P, F, 3) signed areas of (edge x pixel) per edge.
+    """
+    a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
+
+    def edge(p0, p1):
+        d = p1 - p0  # (F, 2)
+        rel = pix[:, None, :] - p0[None]  # (P, F, 2)
+        return d[None, :, 0] * rel[..., 1] - d[None, :, 1] * rel[..., 0]
+
+    return jnp.stack([edge(a, b), edge(b, c), edge(c, a)], axis=-1)
+
+
+def _signed_distance(pix, tri, eps=1e-12):
+    """Approximate signed distance (positive inside) from pixels to
+    triangles: min over edges of edge_value / |edge|."""
+    ev = _edge_functions(pix, tri)  # (P, F, 3)
+    a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
+
+    def safe_len(d):
+        # sqrt with a floor: plain norm has a NaN gradient at exactly 0,
+        # which degenerate (padding) triangles would inject into the
+        # backward even though their coverage is masked out forward.
+        return jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
+
+    lens = jnp.stack(
+        [safe_len(b - a), safe_len(c - b), safe_len(a - c)], axis=-1
+    )  # (F, 3)
+    d = ev / (lens[None] + eps)
+    # orientation-normalize: for CW triangles all edges flip sign
+    area = ev[..., 0] + ev[..., 1] + ev[..., 2]
+    sign = jnp.sign(
+        tri[:, 1, 0] * tri[:, 2, 1] - tri[:, 2, 0] * tri[:, 1, 1]
+        - tri[:, 0, 0] * (tri[:, 2, 1] - tri[:, 1, 1])
+        + tri[:, 0, 1] * (tri[:, 2, 0] - tri[:, 1, 0])
+    )
+    d = d * sign[None, :, None]
+    return jnp.min(d, axis=-1)  # (P, F)
+
+
+@functools.partial(jax.jit, static_argnames=("image_size", "face_tile"))
+def soft_silhouette(verts_ndc, faces, image_size=256, sigma=None,
+                    face_tile=512):
+    """Differentiable silhouette.
+
+    Args:
+      verts_ndc: (B, V, 3) projected verts (use :func:`project_unit_k`).
+      faces: (F, 3) int32 shared topology.
+      image_size: output resolution S.
+      sigma: softness of the coverage sigmoid in NDC units
+        (default: half a pixel).
+      face_tile: triangles per accumulation chunk (memory bound:
+        S*S*face_tile floats).
+
+    Returns:
+      (B, S, S) silhouette in [0, 1].
+    """
+    if sigma is None:
+        sigma = 0.5 * (2.0 / image_size)
+    pix = _pixel_grid(image_size)  # (P, 2)
+    P = pix.shape[0]
+    F = faces.shape[0]
+    pad = (-F) % face_tile
+    faces_p = jnp.pad(faces, ((0, pad), (0, 0)))
+    valid = jnp.pad(jnp.ones((F,), bool), (0, pad))
+    n_tiles = faces_p.shape[0] // face_tile
+
+    def render_one(verts):
+        tris = verts[faces_p][..., :2]  # (F', 3, 2)
+        zs = verts[faces_p][..., 2]  # (F', 3) -- behind-camera cull
+        front = jnp.all(zs > 0.0, axis=-1) & valid
+
+        def body(carry, idx):
+            tri_c = jax.lax.dynamic_slice_in_dim(tris, idx * face_tile, face_tile)
+            ok = jax.lax.dynamic_slice_in_dim(front, idx * face_tile, face_tile)
+            d = _signed_distance(pix, tri_c)  # (P, T)
+            cov = jax.nn.sigmoid(d / sigma) * ok[None, :]
+            # sum-and-clamp union: a soft-OR would dip to 0.75 on interior
+            # shared edges (each face covers 0.5 there); summing makes
+            # watertight interiors seamless, and the final clamp only kills
+            # gradients where coverage is saturated anyway.
+            return carry + jnp.sum(cov, axis=-1), None
+
+        cov_sum, _ = jax.lax.scan(
+            body, jnp.zeros((P,)), jnp.arange(n_tiles)
+        )
+        return jnp.clip(cov_sum, 0.0, 1.0).reshape(image_size, image_size)
+
+    return jax.vmap(render_one)(verts_ndc)
+
+
+@functools.partial(jax.jit, static_argnames=("image_size", "face_tile"))
+def hard_rasterize(verts_ndc, faces, image_size=256, face_tile=512,
+                   far=100.0):
+    """Hard z-buffer rasterization (non-differentiable; for overlays).
+
+    Returns (face_index (B, S, S) int32 [-1 = background],
+             depth (B, S, S), bary (B, S, S, 3)).
+    """
+    pix = _pixel_grid(image_size)
+    P = pix.shape[0]
+    F = faces.shape[0]
+    pad = (-F) % face_tile
+    faces_p = jnp.pad(faces, ((0, pad), (0, 0)))
+    valid = jnp.pad(jnp.ones((F,), bool), (0, pad))
+    n_tiles = faces_p.shape[0] // face_tile
+
+    def render_one(verts):
+        tris_all = verts[faces_p]  # (F', 3, 3)
+
+        def body(carry, idx):
+            best_z, best_i, best_w = carry
+            tri3 = jax.lax.dynamic_slice_in_dim(
+                tris_all, idx * face_tile, face_tile
+            )
+            ok = jax.lax.dynamic_slice_in_dim(valid, idx * face_tile, face_tile)
+            tri = tri3[..., :2]
+            ev = _edge_functions(pix, tri)  # (P, T, 3)
+            area = jnp.sum(ev, axis=-1)  # (P, T) twice signed area (const/tri)
+            inside = (
+                jnp.all(ev >= 0, axis=-1) | jnp.all(ev <= 0, axis=-1)
+            )
+            w = ev / jnp.where(jnp.abs(area) < 1e-12, 1.0, area)[..., None]
+            # barycentric w.r.t. opposite vertices: ev order (ab, bc, ca)
+            # weight of vertex c is edge(a,b) etc -> reorder to (a, b, c)
+            bary = jnp.stack([w[..., 1], w[..., 2], w[..., 0]], axis=-1)
+            # perspective-correct depth (rasterize_cuda_kernel.cu:177)
+            zinv = jnp.sum(bary / jnp.maximum(tri3[..., 2], 1e-9)[None], -1)
+            z = 1.0 / jnp.maximum(zinv, 1e-9)
+            front = jnp.all(tri3[..., 2] > 0, axis=-1)[None] & ok[None]
+            z = jnp.where(inside & front, z, far)
+            tile_best = jnp.argmin(z, axis=-1)  # (P,)
+            tile_z = jnp.take_along_axis(z, tile_best[:, None], -1)[:, 0]
+            tile_w = jnp.take_along_axis(
+                bary, tile_best[:, None, None], axis=1
+            )[:, 0]
+            upd = tile_z < best_z
+            best_i = jnp.where(upd, idx * face_tile + tile_best, best_i)
+            best_w = jnp.where(upd[:, None], tile_w, best_w)
+            best_z = jnp.minimum(best_z, tile_z)
+            return (best_z, best_i, best_w), None
+
+        init = (
+            jnp.full((P,), far),
+            jnp.full((P,), -1, jnp.int32),
+            jnp.zeros((P, 3)),
+        )
+        (z, i, w), _ = jax.lax.scan(body, init, jnp.arange(n_tiles))
+        i = jnp.where(z >= far, -1, i)
+        S = image_size
+        return i.reshape(S, S), z.reshape(S, S), w.reshape(S, S, 3)
+
+    return jax.vmap(render_one)(verts_ndc)

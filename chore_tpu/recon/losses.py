@@ -1,0 +1,207 @@
+"""Fitting losses for joint SMPL + object optimization.
+
+Functional equivalents of the reference's loss terms (reference:
+recon/recon_fit_base.py:513-676, recon/recon_fit_behave.py:165-222,293-358)
+with the two CUDA-backed losses rebuilt TPU-native:
+
+  * contact: the ragged per-part pytorch3d Pointclouds chamfer
+    (recon_fit_base.py:553-608) becomes a dense masked formulation -- one
+    (N_h, N_o) distance matrix per example, masked per part, mean over valid
+    part pairs (identical semantics to pytorch3d's cloud-mean reduction).
+  * collision: the BVH + DistanceFieldPenetrationLoss CUDA pair
+    (recon_fit_base.py:79-86,610-639) becomes a BVH-free signed-distance
+    penalty: object points behind the nearest SMPL vertex's outward normal
+    are penalized quadratically. Nearest indices are stop-gradiented like
+    the reference's no_grad BVH query.
+
+Loss weights follow w^2 * value / (1 + decay) with the per-phase decay
+driven by the optimizer loop (recon_fit_behave.py:339-358).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from chore_tpu.ops.camera import PerspectiveCamera, Z0
+from chore_tpu.ops.chamfer import _pairwise_sqdist
+from chore_tpu.smpl.const import SMPL_PARTS_NUM
+
+# w^2 constants (reference: recon_fit_behave.py:339-358)
+BEHAVE_WEIGHTS = {
+    "beta": 1.0,
+    "pose": 1e-5,
+    "hand": 1e-5,
+    "j2d": 0.3**2,
+    "object": 30.0**2,
+    "part": 0.05**2,
+    "contact": 30.0**2,
+    "scale": 10.0**2,
+    "df_h": 30.0**2,
+    "smplz": 30.0**2,
+    "mask": 0.003**2,
+    "ocent": 15.0**2,
+    "collide": 3.0**2,
+    "pinit": 5.0**2,
+    "rot": 10.0**2,
+    "trans": 10.0**2,
+}
+
+# in-the-wild variant: stronger pose/contact/keypoint regularization
+# (reference: recon_fit_coco.py:55-74)
+COCO_WEIGHTS = dict(
+    BEHAVE_WEIGHTS,
+    j2d=0.8**2,
+    object=90.0**2,
+    contact=150.0**2,
+    scale=2.0**2,
+    pinit=10.0**2,
+    ocent=30.0**2,
+    mask=0.3**2,
+    collide=15.0**2,
+)
+
+
+def weighted_sum(loss_dict, weights, decay):
+    """sum_k w_k * loss_k / (1 + decay)
+    (reference: recon_fit_base.py:351-359)."""
+    total = 0.0
+    for k, v in loss_dict.items():
+        total = total + weights[k] * v / (1.0 + decay)
+    return total
+
+
+def df_h_loss(df_pred_h, clamp=0.1):
+    """Mean clamped human UDF at SMPL verts (recon_fit_base.py:537-542)."""
+    return jnp.clip(df_pred_h, max=clamp).mean()
+
+
+def df_o_loss(df_pred_o, clamp=0.8):
+    """Mean clamped object UDF at object points (recon_fit_base.py:513-518)."""
+    return jnp.clip(df_pred_o, max=clamp).mean()
+
+
+def scale_loss(obj_s, obj_scale=1.0):
+    return jnp.mean((obj_s - obj_scale) ** 2)
+
+
+def smplz_loss(joints, z0=Z0):
+    """Pelvis (body25 joint 8) fixed-depth loss (recon_fit_base.py:230-231)."""
+    return jnp.mean((joints[:, 8, 2] - z0) ** 2)
+
+
+def pinit_loss(pose, pose_init):
+    """Stay near the mocap body pose: pose[3:72]
+    (recon_fit_behave.py:319-320)."""
+    return jnp.mean(jnp.sum((pose[:, 3:72] - pose_init) ** 2, -1))
+
+
+def part_ce_loss(parts_pred, part_labels):
+    """Part-correspondence CE at SMPL verts, summed over verts
+    (recon_fit_behave.py:312). parts_pred (B, V, 14), labels (B, V)."""
+    logp = jax.nn.log_softmax(parts_pred, axis=-1)
+    ce = -jnp.take_along_axis(logp, part_labels[..., None], axis=-1)[..., 0]
+    return ce.sum(-1).mean()
+
+
+def j2d_loss(joints3d, kpts2d, crop_center, camera: PerspectiveCamera,
+             net_in_size=512):
+    """2D keypoint reprojection (recon_fit_base.py:661-676): project to the
+    crop patch, rescale to network-input pixels, confidence-weighted MSE."""
+    px, py = camera.project_screen(joints3d, crop_center)
+    proj = jnp.concatenate([px, py], -1) * (net_in_size / camera.crop_size)
+    err = (proj - kpts2d[..., :2]) ** 2
+    return jnp.mean(jnp.sum(err, axis=-1) * kpts2d[..., 2])
+
+
+def ocent_loss(obj_points, obj_center_pred):
+    """Object-center consistency (recon_fit_behave.py:198-199)."""
+    actual = jnp.mean(obj_points, axis=1)
+    return jnp.sum((actual - obj_center_pred) ** 2, -1).mean()
+
+
+def contact_loss(smpl_verts, obj_points, df_hum_o, df_obj_h,
+                 part_labels_h, part_labels_o, thresh=0.08):
+    """Per-part contact chamfer (recon_fit_base.py:553-608).
+
+    Args:
+      smpl_verts: (B, Nh, 3); obj_points: (B, No, 3).
+      df_hum_o: (B, Nh) predicted OBJECT df at smpl verts.
+      df_obj_h: (B, No) predicted HUMAN df at object points.
+      part_labels_h: (Nh,) static SMPL part labels.
+      part_labels_o: (B, No) predicted part labels of object points.
+
+    Semantics: points with df < thresh are "in contact"; if one side of an
+    example has no contacts at all, ALL its points are eligible (the
+    reference pulls the whole cloud). Each part with contacts on both sides
+    forms a cloud pair; the loss is the mean over pairs of the
+    bidirectional mean squared chamfer (pytorch3d convention).
+    """
+    B = smpl_verts.shape[0]
+    mask_h = df_hum_o < thresh  # (B, Nh)
+    mask_o = df_obj_h < thresh  # (B, No)
+    any_h = mask_h.any(axis=1, keepdims=True)
+    any_o = mask_o.any(axis=1, keepdims=True)
+    eff_h = jnp.where(any_h, mask_h, True)  # fall back to all points
+    eff_o = jnp.where(any_o, mask_o, True)
+    # an example with no contacts on either side contributes nothing
+    example_on = (any_h | any_o)[:, 0]  # (B,)
+
+    def per_example(hv, ov, mh, mo, po, on):
+        d = _pairwise_sqdist(hv, ov)  # (Nh, No)
+        _BIG = 1e10
+
+        def per_part(k):
+            hm = mh & (part_labels_h == k)
+            om = mo & (po == k)
+            nx = jnp.sum(hm)
+            ny = jnp.sum(om)
+            valid = (nx > 0) & (ny > 0) & on
+            d_xy = jnp.where(om[None, :], d, _BIG)
+            d_yx = jnp.where(hm[:, None], d, _BIG)
+            lx = jnp.sum(jnp.where(hm, jnp.min(d_xy, 1), 0.0)) / jnp.maximum(nx, 1)
+            ly = jnp.sum(jnp.where(om, jnp.min(d_yx, 0), 0.0)) / jnp.maximum(ny, 1)
+            return jnp.where(valid, lx + ly, 0.0), valid
+
+        losses, valids = jax.vmap(per_part)(jnp.arange(SMPL_PARTS_NUM))
+        return jnp.sum(losses), jnp.sum(valids)
+
+    losses, counts = jax.vmap(per_example)(
+        smpl_verts, obj_points, eff_h, eff_o, part_labels_o, example_on
+    )
+    total_pairs = jnp.sum(counts)
+    return jnp.where(total_pairs > 0, jnp.sum(losses) / jnp.maximum(total_pairs, 1), 0.0)
+
+
+def vertex_normals(verts, faces):
+    """(B, V, 3) area-weighted outward vertex normals from shared faces."""
+    v0 = verts[:, faces[:, 0]]
+    v1 = verts[:, faces[:, 1]]
+    v2 = verts[:, faces[:, 2]]
+    fn = jnp.cross(v1 - v0, v2 - v0)  # (B, F, 3), area-weighted
+
+    def accumulate(fn_b):
+        out = jnp.zeros_like(verts[0])
+        for i in range(3):
+            out = out.at[faces[:, i]].add(fn_b)
+        return out
+
+    n = jax.vmap(accumulate)(fn)
+    return n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
+
+
+def collision_loss(smpl_verts, smpl_normals, obj_points):
+    """BVH-free penetration penalty.
+
+    For each object point, the signed distance to the tangent plane of its
+    nearest SMPL vertex: s = <p - v_nn, n_nn>. Points inside (s < 0) are
+    penalized by s^2. Nearest indices are non-differentiable (matching the
+    reference's no_grad BVH search, recon_fit_base.py:620-622); gradients
+    flow through both the object points and the SMPL surface.
+    """
+    d = jax.vmap(_pairwise_sqdist)(obj_points, smpl_verts)  # (B, No, Nh)
+    idx = jax.lax.stop_gradient(jnp.argmin(d, axis=-1))  # (B, No)
+    v_nn = jnp.take_along_axis(smpl_verts, idx[..., None], axis=1)
+    n_nn = jnp.take_along_axis(smpl_normals, idx[..., None], axis=1)
+    signed = jnp.sum((obj_points - v_nn) * n_nn, axis=-1)  # (B, No)
+    pen = jnp.minimum(signed, 0.0)
+    return jnp.mean(pen**2)

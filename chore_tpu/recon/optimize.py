@@ -1,0 +1,109 @@
+"""Generic jitted Adam phase runner for the fitting loops.
+
+The reference drives ~180 outer iterations x 10 inner steps of torch Adam
+from Python, rebuilding optimizers at phase switches and early-stopping on
+loss plateaus (reference: recon_fit_behave.py:90-163,224-291). Here each
+phase is ONE jitted lax.while_loop: the carry holds (params, adam state,
+iteration, prev_loss, PRNG key), parameter subsets are frozen via an optax
+mask (instead of constructing new torch optimizers), and the early-stop
+test runs on-device -- no host sync per iteration.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class PhaseSpec:
+    """One optimization phase.
+
+    Attributes:
+      lr: Adam learning rate.
+      n_iters: max outer iterations.
+      steps_per_iter: grad steps per iteration (reference steps_per_iter=10).
+      trainable: pytree of bools matching params (True = optimized).
+      decay_fn: iteration -> weight-decay argument ``it`` of w*cst/(1+it).
+      early_stop_after: fraction of n_iters before early stop can trigger
+        (reference: it > 0.25 * max_iter); None disables early stopping.
+      early_stop_rel: plateau threshold factor (reference:
+        abs(prev-loss)/prev < prev * early_stop_rel).
+    """
+
+    lr: float
+    n_iters: int
+    steps_per_iter: int = 10
+    trainable: object = None
+    decay_fn: Callable = lambda it: 1.0
+    early_stop_after: Optional[float] = None
+    early_stop_rel: float = 1e-3
+
+
+def run_phase(loss_fn, params, spec: PhaseSpec, key=None):
+    """Run one phase.
+
+    Args:
+      loss_fn: (params, decay, key) -> (total_loss, aux_dict). Must be pure.
+      params: parameter pytree.
+      spec: PhaseSpec.
+      key: PRNG key (threaded; split per step for e.g. SVD jitter).
+
+    Returns:
+      (params, final_loss, n_iters_run)
+    """
+    key = key if key is not None else jax.random.PRNGKey(0)
+    mask = spec.trainable
+    if mask is None:
+        mask = jax.tree_util.tree_map(lambda _: True, params)
+    tx = optax.masked(optax.adam(spec.lr), mask)
+    opt_state = tx.init(params)
+
+    def one_step(carry, _):
+        params, opt_state, it, k = carry
+        k, sub = jax.random.split(k)
+        decay = spec.decay_fn(it)
+        (loss, _aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, decay, sub
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, it, k), loss
+
+    def iteration(carry):
+        params, opt_state, it, prev_loss, k, done, n_run = carry
+        (params, opt_state, _, k), losses = jax.lax.scan(
+            one_step, (params, opt_state, it, k), None,
+            length=spec.steps_per_iter,
+        )
+        loss = losses[-1]
+        if spec.early_stop_after is not None:
+            rel = jnp.abs(prev_loss - loss) / jnp.maximum(prev_loss, 1e-9)
+            plateau = rel < prev_loss * spec.early_stop_rel
+            done = plateau & (it > spec.early_stop_after * spec.n_iters)
+        return (params, opt_state, it + 1, loss, k, done, n_run + 1)
+
+    def cond(carry):
+        _, _, it, _, _, done, _ = carry
+        return (it < spec.n_iters) & ~done
+
+    init = (
+        params, opt_state, jnp.asarray(0),
+        jnp.asarray(300.0),  # prev_loss init (reference: prev_loss = 300.)
+        key, jnp.asarray(False), jnp.asarray(0),
+    )
+    params, _, _, loss, _, _, n_run = jax.lax.while_loop(
+        cond, lambda c: iteration(c), init
+    )
+    return params, loss, n_run
+
+
+def freeze_all_except(params, *names):
+    """Bool mask pytree: only top-level keys in ``names`` are trainable."""
+    return {
+        k: jax.tree_util.tree_map(lambda _: k in names, v)
+        for k, v in params.items()
+    }

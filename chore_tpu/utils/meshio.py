@@ -1,0 +1,139 @@
+"""Mesh IO + geometry utilities (replaces psbody-mesh / trimesh usage).
+
+Covers what the reference pipeline needs: PLY read/write (ascii + binary LE),
+OBJ read/write, area-weighted surface sampling (trimesh .sample,
+recon_fit_base.py:121), and PCA of vertex clouds (sklearn PCA,
+recon_fit_base.py:118-119).
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def load_ply(path):
+    """Read a PLY mesh -> (verts (V,3) f32, faces (F,3) i32 or None)."""
+    with open(path, "rb") as f:
+        if f.readline().strip() != b"ply":
+            raise ValueError(f"{path}: not a PLY file")
+        fmt = None
+        n_verts = n_faces = 0
+        vert_props = []
+        cur = None
+        while True:
+            line = f.readline().strip()
+            if line.startswith(b"format"):
+                fmt = line.split()[1].decode()
+            elif line.startswith(b"element vertex"):
+                n_verts = int(line.split()[-1])
+                cur = "vertex"
+            elif line.startswith(b"element face"):
+                n_faces = int(line.split()[-1])
+                cur = "face"
+            elif line.startswith(b"property") and cur == "vertex":
+                parts = line.split()  # "property <type> <name>"
+                vert_props.append((parts[2].decode(), parts[1].decode()))
+            elif line == b"end_header":
+                break
+
+        type_map = {"float": "f4", "float32": "f4", "double": "f8",
+                    "uchar": "u1", "uint8": "u1", "int": "i4", "int32": "i4",
+                    "short": "i2", "ushort": "u2", "char": "i1"}
+        if fmt == "ascii":
+            verts = np.empty((n_verts, len(vert_props)), np.float64)
+            for i in range(n_verts):
+                verts[i] = [float(x) for x in f.readline().split()]
+            faces = []
+            for _ in range(n_faces):
+                vals = [int(x) for x in f.readline().split()]
+                if vals[0] == 3:
+                    faces.append(vals[1:4])
+                elif vals[0] == 4:
+                    faces.append([vals[1], vals[2], vals[3]])
+                    faces.append([vals[1], vals[3], vals[4]])
+        elif fmt == "binary_little_endian":
+            dtype = np.dtype([(n, type_map[t]) for n, t in vert_props])
+            data = np.frombuffer(f.read(n_verts * dtype.itemsize), dtype)
+            verts = np.stack([data[n] for n, _ in vert_props], axis=1)
+            faces = []
+            for _ in range(n_faces):
+                (cnt,) = struct.unpack("<B", f.read(1))
+                idx = struct.unpack(f"<{cnt}i", f.read(4 * cnt))
+                if cnt == 3:
+                    faces.append(idx)
+                elif cnt == 4:
+                    faces.append([idx[0], idx[1], idx[2]])
+                    faces.append([idx[0], idx[2], idx[3]])
+        else:
+            raise ValueError(f"unsupported PLY format {fmt}")
+    xyz = verts[:, :3].astype(np.float32)
+    faces = np.asarray(faces, np.int32) if len(faces) else None
+    return xyz, faces
+
+
+def save_ply(path, verts, faces=None, colors=None):
+    """Write an ascii PLY (optionally vertex-colored point cloud)."""
+    verts = np.asarray(verts)
+    n_faces = 0 if faces is None else len(faces)
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(verts)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if colors is not None:
+            f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        f.write(f"element face {n_faces}\n")
+        f.write("property list uchar int vertex_indices\nend_header\n")
+        if colors is not None:
+            c = np.clip(np.asarray(colors) * 255, 0, 255).astype(np.uint8)
+            for v, col in zip(verts, c):
+                f.write(f"{v[0]} {v[1]} {v[2]} {col[0]} {col[1]} {col[2]}\n")
+        else:
+            for v in verts:
+                f.write(f"{v[0]} {v[1]} {v[2]}\n")
+        if faces is not None:
+            for face in faces:
+                f.write(f"3 {face[0]} {face[1]} {face[2]}\n")
+
+
+def load_obj(path):
+    """Read an OBJ mesh -> (verts (V,3) f32, faces (F,3) i32)."""
+    verts, faces = [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                verts.append([float(x) for x in line.split()[1:4]])
+            elif line.startswith("f "):
+                idx = [int(t.split("/")[0]) - 1 for t in line.split()[1:]]
+                for k in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    return np.asarray(verts, np.float32), np.asarray(faces, np.int32)
+
+
+def save_obj(path, verts, faces):
+    with open(path, "w") as f:
+        for v in verts:
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for face in faces:
+            f.write(f"f {face[0]+1} {face[1]+1} {face[2]+1}\n")
+
+
+def sample_surface(verts, faces, n, seed=0):
+    """Area-weighted uniform surface sampling (trimesh.sample equivalent)."""
+    rng = np.random.RandomState(seed)
+    v0, v1, v2 = (verts[faces[:, i]] for i in range(3))
+    areas = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1)
+    probs = areas / areas.sum()
+    fid = rng.choice(len(faces), n, p=probs)
+    r1 = np.sqrt(rng.rand(n, 1))
+    r2 = rng.rand(n, 1)
+    return ((1 - r1) * v0[fid] + r1 * (1 - r2) * v1[fid]
+            + r1 * r2 * v2[fid]).astype(np.float32)
+
+
+def pca_axes(points):
+    """(3, 3) principal axes, rows sorted by decreasing variance
+    (sklearn PCA .components_ equivalent)."""
+    x = points - points.mean(0)
+    _, s, vt = np.linalg.svd(x, full_matrices=False)
+    return vt.astype(np.float32)

@@ -1,0 +1,180 @@
+"""Fitting-layer tests against analytic fields: each loss term, the phase
+runner, and object-pose convergence on a synthetic scene."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from chore_tpu.recon import losses as L
+from chore_tpu.recon.optimize import PhaseSpec, freeze_all_except, run_phase
+from chore_tpu.ops.rotation import project_so3
+
+
+def octasphere(radius=0.2, center=(0, 0, 0), subdiv=2):
+    """Subdivided octahedron projected to a sphere."""
+    verts = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+                      [0, 0, 1], [0, 0, -1]], np.float64)
+    faces = np.array([[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+                      [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]])
+    for _ in range(subdiv):
+        new_faces = []
+        verts = list(verts)
+        cache = {}
+
+        def mid(i, j):
+            k = (min(i, j), max(i, j))
+            if k not in cache:
+                m = (np.asarray(verts[i]) + np.asarray(verts[j])) / 2
+                verts.append(m / np.linalg.norm(m))
+                cache[k] = len(verts) - 1
+            return cache[k]
+
+        for a, b, c in faces:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            new_faces += [[a, ab, ca], [ab, b, bc], [ca, bc, c], [ab, bc, ca]]
+        faces = np.asarray(new_faces)
+        verts = np.asarray(verts)
+    verts = verts / np.linalg.norm(verts, axis=1, keepdims=True)
+    return (verts * radius + np.asarray(center)).astype(np.float32), faces.astype(np.int32)
+
+
+class TestLossTerms:
+    def test_smplz(self):
+        joints = jnp.zeros((2, 25, 3)).at[:, 8, 2].set(jnp.array([2.2, 2.4]))
+        assert np.isclose(float(L.smplz_loss(joints)), 0.5 * 0.04, atol=1e-6)
+
+    def test_j2d_perfect_projection_zero(self):
+        from chore_tpu.ops.camera import PerspectiveCamera
+
+        cam = PerspectiveCamera()
+        pts = jnp.asarray(np.random.RandomState(0).randn(1, 25, 3).astype(np.float32))
+        pts = pts.at[..., 2].set(2.2)
+        cc = jnp.array([[1000.0, 800.0]])
+        px, py = cam.project_screen(pts, cc)
+        proj = jnp.concatenate([px, py], -1) * (512.0 / cam.crop_size)
+        kpts = jnp.concatenate([proj, jnp.ones((1, 25, 1))], -1)
+        assert float(L.j2d_loss(pts, kpts, cc, cam)) < 1e-8
+
+    def test_collision_detects_penetration(self):
+        # unit sphere "body"; object points inside vs outside
+        sv, sf = octasphere(radius=0.5, subdiv=2)
+        verts = jnp.asarray(sv)[None]
+        normals = L.vertex_normals(verts, sf)
+        # normals point outward for this sphere
+        outward = np.einsum("vd,vd->v", np.asarray(normals[0]), sv / np.linalg.norm(sv, axis=1, keepdims=True))
+        assert (outward > 0.9).all()
+        inside = jnp.zeros((1, 10, 3))  # center: deep inside
+        outside = jnp.full((1, 10, 3), 2.0)
+        assert float(L.collision_loss(verts, normals, inside)) > 0.01
+        assert float(L.collision_loss(verts, normals, outside)) < 1e-8
+
+    def test_contact_pulls_matching_parts(self):
+        B, Nh, No = 1, 40, 20
+        rng = np.random.RandomState(0)
+        hv = jnp.asarray(rng.randn(B, Nh, 3).astype(np.float32))
+        ov = jnp.asarray(rng.randn(B, No, 3).astype(np.float32))
+        labels_h = jnp.asarray(rng.randint(0, 14, (Nh,)))
+        labels_o = jnp.asarray(rng.randint(0, 14, (B, No)))
+        df_close = jnp.zeros((B, Nh)), jnp.zeros((B, No))  # all in contact
+        loss = L.contact_loss(hv, ov, df_close[0], df_close[1],
+                              labels_h, labels_o)
+        assert float(loss) > 0
+        # identical clouds with identical labels -> zero
+        labels_same = jnp.asarray(rng.randint(0, 14, (Nh,)))
+        loss0 = L.contact_loss(hv, hv, jnp.zeros((B, Nh)), jnp.zeros((B, Nh)),
+                               labels_same, jnp.tile(labels_same[None], (B, 1)))
+        assert float(loss0) < 1e-6
+
+    def test_contact_no_contacts_returns_zero(self):
+        B, Nh, No = 1, 10, 10
+        hv = jnp.zeros((B, Nh, 3))
+        ov = jnp.ones((B, No, 3))
+        big = jnp.full((B, Nh), 1.0)
+        loss = L.contact_loss(hv, ov, big, jnp.full((B, No), 1.0),
+                              jnp.zeros((Nh,), jnp.int32),
+                              jnp.zeros((B, No), jnp.int32))
+        assert float(loss) == 0.0
+
+    def test_weighted_sum_decay(self):
+        ld = {"df_h": jnp.asarray(2.0), "scale": jnp.asarray(1.0)}
+        w = {"df_h": 900.0, "scale": 100.0}
+        assert np.isclose(float(L.weighted_sum(ld, w, 1.0)),
+                          (900 * 2 + 100) / 2.0)
+
+
+class TestPhaseRunner:
+    def test_converges_quadratic(self):
+        target = jnp.array([1.0, -2.0, 3.0])
+
+        def loss_fn(params, decay, key):
+            l = jnp.sum((params["x"] - target) ** 2)
+            return l, {"l": l}
+
+        params = {"x": jnp.zeros(3), "frozen": jnp.zeros(2)}
+        spec = PhaseSpec(lr=0.1, n_iters=50, steps_per_iter=10,
+                         trainable=freeze_all_except(params, "x"))
+        out, loss, n = run_phase(loss_fn, params, spec)
+        assert np.allclose(out["x"], target, atol=1e-2)
+        assert np.allclose(out["frozen"], 0.0)
+
+    def test_early_stop_triggers(self):
+        # the reference plateau rule is scale-dependent
+        # (abs(prev-loss)/prev < prev * rel); use an O(100) loss like the
+        # real weighted fitting losses so it can fire
+        def loss_fn(params, decay, key):
+            l = jnp.sum(params["x"] ** 2) + 100.0
+            return l, {}
+
+        params = {"x": jnp.ones(2)}
+        spec = PhaseSpec(lr=0.05, n_iters=100, steps_per_iter=2,
+                         early_stop_after=0.05, early_stop_rel=1e-3)
+        _, _, n = run_phase(loss_fn, params, spec)
+        assert int(n) < 100
+
+
+class TestObjectPhaseConvergence:
+    def test_object_pose_recovers_translation(self):
+        """Analytic object UDF (sphere at c_o): the 'object only' phase must
+        pull a mis-initialized template onto it."""
+        c_o = jnp.array([0.4, -0.1, 2.3])
+        radius = 0.2
+        tv, tf = octasphere(radius=radius, subdiv=2)
+        template = jnp.asarray(tv)
+
+        def query_fn(points):
+            d_o = jnp.abs(jnp.linalg.norm(points - c_o, axis=-1) - radius)
+            d_h = jnp.ones_like(d_o)  # no human nearby
+            n = points.shape[:-1]
+            return {
+                "df": jnp.stack([d_h, d_o], -1),
+                "parts": jnp.zeros(n + (14,)),
+                "pca": jnp.broadcast_to(jnp.eye(3), n + (3, 3)),
+                "centers": jnp.broadcast_to(
+                    jnp.concatenate([jnp.zeros(3), c_o]), n + (6,)),
+            }
+
+        def obj_losses(params, decay, key):
+            from chore_tpu.ops.rotation import project_so3_jittered
+
+            R = project_so3_jittered(params["obj_R"], key)
+            obj = jnp.einsum("nd,bde->bne", template, R) + params["obj_t"][:, None]
+            obj = obj * params["obj_s"][:, None, None]
+            preds = query_fn(obj)
+            ld = {
+                "object": L.df_o_loss(preds["df"][..., 1]),
+                "scale": L.scale_loss(params["obj_s"]),
+                "ocent": L.ocent_loss(obj, jnp.mean(preds["centers"][..., 3:], 1)),
+            }
+            return L.weighted_sum(ld, L.BEHAVE_WEIGHTS, decay), ld
+
+        params = {
+            "obj_R": jnp.eye(3)[None],
+            "obj_t": jnp.array([[0.0, 0.3, 2.0]]),  # wrong init
+            "obj_s": jnp.ones(1),
+        }
+        spec = PhaseSpec(lr=0.006, n_iters=40, steps_per_iter=10)
+        out, loss, _ = run_phase(obj_losses, params, spec, jax.random.PRNGKey(0))
+        # template center must land on the object center
+        err = np.linalg.norm(np.asarray(out["obj_t"][0] * out["obj_s"][0] - c_o))
+        assert err < 0.03, f"translation error {err}"

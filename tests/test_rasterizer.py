@@ -1,0 +1,127 @@
+"""Rasterizer tests: analytic coverage of known triangles, gradient flow,
+depth ordering, projection conventions."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from chore_tpu.ops.rasterizer import (
+    hard_rasterize,
+    project_unit_k,
+    soft_silhouette,
+)
+
+
+def square_mesh(z=2.0, half=0.5, cx=0.0, cy=0.0):
+    """Two triangles covering a square in NDC at depth z."""
+    v = np.array(
+        [
+            [cx - half, cy - half, z],
+            [cx + half, cy - half, z],
+            [cx + half, cy + half, z],
+            [cx - half, cy + half, z],
+        ],
+        np.float32,
+    )
+    f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    return v, f
+
+
+class TestProjection:
+    def test_unit_k_center(self):
+        # a point on the optical axis lands at NDC (2cx-1, 2(1-cy)-1)
+        K = jnp.array([[[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]]])
+        verts = jnp.array([[[0.0, 0.0, 2.0]]])
+        ndc = project_unit_k(verts, K)
+        assert np.allclose(ndc[0, 0, :2], 0.0, atol=1e-6)
+        assert np.allclose(ndc[0, 0, 2], 2.0)
+
+    def test_v_flip(self):
+        # +y in camera space goes DOWN in image -> NDC v increases
+        K = jnp.array([[[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]]])
+        up = project_unit_k(jnp.array([[[0.0, -0.1, 1.0]]]), K)
+        down = project_unit_k(jnp.array([[[0.0, 0.1, 1.0]]]), K)
+        assert float(up[0, 0, 1]) > float(down[0, 0, 1]) or True
+        # NMR: v = 1 - (fy*y/z + cy); y>0 -> smaller v -> smaller ndc y
+        assert float(down[0, 0, 1]) < float(up[0, 0, 1])
+
+
+class TestSoftSilhouette:
+    def test_coverage_fraction(self):
+        v, f = square_mesh(half=0.5)
+        # square spans NDC [-0.5, 0.5]^2 -> quarter of the image area
+        sil = soft_silhouette(jnp.asarray(v)[None], jnp.asarray(f),
+                              image_size=64, face_tile=2)
+        frac = float(jnp.mean(sil))
+        assert abs(frac - 0.25) < 0.02
+
+    def test_silhouette_range_and_interior(self):
+        v, f = square_mesh(half=0.8)
+        sil = np.asarray(
+            soft_silhouette(jnp.asarray(v)[None], jnp.asarray(f),
+                            image_size=32, face_tile=2)[0]
+        )
+        assert sil.min() >= 0 and sil.max() <= 1
+        assert sil[16, 16] > 0.99  # deep interior
+        assert sil[0, 0] < 0.01  # far exterior
+
+    def test_behind_camera_culled(self):
+        v, f = square_mesh(z=-1.0)
+        sil = soft_silhouette(jnp.asarray(v)[None], jnp.asarray(f),
+                              image_size=32, face_tile=2)
+        assert float(jnp.max(sil)) < 1e-6
+
+    def test_gradient_moves_silhouette(self):
+        v, f = square_mesh(half=0.3)
+        target_shift = 0.2
+
+        def loss(dx):
+            verts = jnp.asarray(v)[None].at[..., 0].add(dx)
+            sil = soft_silhouette(verts, jnp.asarray(f), image_size=32,
+                                  face_tile=2)
+            ref_v = jnp.asarray(v)[None].at[..., 0].add(target_shift)
+            ref = soft_silhouette(ref_v, jnp.asarray(f), image_size=32,
+                                  face_tile=2)
+            return jnp.sum((sil - jax.lax.stop_gradient(ref)) ** 2)
+
+        g = jax.grad(loss)(0.0)
+        assert np.isfinite(g)
+        # moving toward the target must reduce the loss -> negative gradient
+        assert g < 0
+
+    def test_winding_invariant(self):
+        v, f = square_mesh()
+        f_flipped = f[:, ::-1].copy()
+        s1 = soft_silhouette(jnp.asarray(v)[None], jnp.asarray(f),
+                             image_size=32, face_tile=2)
+        s2 = soft_silhouette(jnp.asarray(v)[None], jnp.asarray(f_flipped),
+                             image_size=32, face_tile=2)
+        assert np.allclose(s1, s2, atol=1e-5)
+
+
+class TestHardRasterize:
+    def test_depth_ordering(self):
+        vn, f = square_mesh(z=1.0, half=0.4)
+        vf, _ = square_mesh(z=3.0, half=0.9)
+        verts = np.concatenate([vn, vf], 0)
+        faces = np.concatenate([f, f + 4], 0).astype(np.int32)
+        fi, z, w = hard_rasterize(jnp.asarray(verts)[None], jnp.asarray(faces),
+                                  image_size=64, face_tile=2)
+        fi = np.asarray(fi[0]); z = np.asarray(z[0])
+        # center pixel: near square (faces 0/1) wins
+        assert fi[32, 32] in (0, 1)
+        assert abs(z[32, 32] - 1.0) < 1e-3
+        # corner: far square only
+        assert fi[5, 5] in (2, 3)
+        assert abs(z[5, 5] - 3.0) < 1e-3
+        # outside everything: background
+        assert fi[0, 63] == -1
+
+    def test_barycentric_sums_to_one(self):
+        v, f = square_mesh()
+        fi, z, w = hard_rasterize(jnp.asarray(v)[None], jnp.asarray(f),
+                                  image_size=32, face_tile=2)
+        covered = np.asarray(fi[0]) >= 0
+        sums = np.asarray(w[0]).sum(-1)[covered]
+        assert np.allclose(sums, 1.0, atol=1e-4)

@@ -1,0 +1,128 @@
+"""Single-image demo: reconstruct human + object and render overlays.
+
+Equivalent of the reference demo.py (reference: demo.py:19-84): the
+in-the-wild (coco) fitting variant on one image directory, followed by
+front/side overlay rendering.
+
+Usage:
+  python -m chore_tpu.cli.demo <exp_name> -s <image_dir> -on basketball \
+      [-o out_dir] [--max-frames N]
+"""
+from __future__ import annotations
+
+import os
+import time
+from argparse import ArgumentParser
+from glob import glob
+
+import numpy as np
+
+from chore_tpu.cli.common import (
+    build_model,
+    load_object_template,
+    load_smplh,
+    load_trained,
+)
+from chore_tpu.config import ChoreConfig, load_config
+from chore_tpu.data import TestImagePrep, collate
+from chore_tpu.recon import losses as L
+from chore_tpu.recon.fitter import FitConfig, ReconFitter
+from chore_tpu.recon.generator import SamplerConfig
+from chore_tpu.recon.templates import save_outputs
+from chore_tpu.utils.meshio import save_ply
+from chore_tpu.utils.render import align_to_input, look_at_side, render_meshes
+
+
+def run_demo(cfg: ChoreConfig, seq_folder, obj_name, outpath="demo_out",
+             save_name="demo", max_frames=None, use_silhouette=True,
+             fit_cfg: FitConfig = None, sampler_cfg: SamplerConfig = None,
+             render_size=512):
+    model, params = load_trained(cfg)
+    smplh = load_smplh()
+    tv, tf = load_object_template(obj_name)
+    fitter = ReconFitter(
+        model, params, smplh, tv, tf, weights=L.COCO_WEIGHTS,
+        cfg=fit_cfg or cfg.fit_config(),
+        sampler_cfg=sampler_cfg or cfg.sampler_config(),
+    )
+    prep = TestImagePrep(
+        image_size=tuple(cfg.net_img_size), crop_size=cfg.loadSize,
+        use_mean_center=True, crop_info_dir=outpath,
+    )
+    os.makedirs(outpath, exist_ok=True)
+    images = sorted(glob(os.path.join(seq_folder, "k1.color.jpg"))
+                    + glob(os.path.join(seq_folder, "*", "k1.color.jpg")))
+    if max_frames:
+        images = images[:max_frames]
+    print(f"{len(images)} images to process")
+
+    for rgb_file in images:
+        t0 = time.time()
+        item = prep.prepare(rgb_file)
+        batch = collate([item])
+        result = fitter.fit_batch(
+            batch["images"], batch["crop_center"], batch["mocap_pose"],
+            batch["mocap_betas"], batch["kpts"],
+            use_silhouette=use_silhouette,
+        )
+        smpl_verts = np.asarray(smplh.verts(result["smpl_params"]))
+        obj_verts = np.asarray(
+            fitter.transform_obj(result["obj_params"],
+                                 points=fitter.template_verts)
+        )
+        name = os.path.splitext(os.path.basename(rgb_file))[0]
+        frame_out = os.path.join(outpath, name)
+        os.makedirs(frame_out, exist_ok=True)
+        save_ply(os.path.join(frame_out, "smpl.ply"), smpl_verts[0],
+                 smplh.faces)
+        save_ply(os.path.join(frame_out, "object.ply"), obj_verts[0], tf)
+        # point clouds from the neural fields
+        pc = result["pclouds"]
+        save_ply(os.path.join(frame_out, "human_pc.ply"),
+                 np.asarray(pc["human"]["points"][0]))
+        save_ply(os.path.join(frame_out, "object_pc.ply"),
+                 np.asarray(pc["object"]["points"][0]))
+
+        # overlay rendering (reference demo.py:28-53)
+        meshes = [(smpl_verts[0], smplh.faces), (obj_verts[0], tf)]
+        colors = [(0.2, 0.7, 0.3), (0.8, 0.3, 0.2)]
+        front, mask = render_meshes(meshes, colors, image_size=render_size)
+        import cv2
+
+        orig = cv2.imread(rgb_file)
+        overlay = align_to_input(front[..., ::-1], mask, orig,
+                                 item["crop_info"], use_mean_center=True,
+                                 alpha=0.85)
+        cv2.imwrite(os.path.join(frame_out, "overlay.jpg"), overlay)
+        side_meshes = []
+        allv = np.concatenate([smpl_verts[0], obj_verts[0]], 0)
+        center = allv.mean(0)
+        for v, f in meshes:
+            side_meshes.append((look_at_side(v, 90.0, center), f))
+        side, _ = render_meshes(side_meshes, colors, image_size=render_size)
+        cv2.imwrite(os.path.join(frame_out, "side.jpg"),
+                    (side[..., ::-1] * 255).astype(np.uint8))
+        print(f"{rgb_file}: done in {time.time() - t0:.1f}s -> {frame_out}")
+
+
+def main():
+    parser = ArgumentParser()
+    parser.add_argument("exp_name", nargs="?", default="chore-release")
+    parser.add_argument("-s", "--seq_folder", required=True)
+    parser.add_argument("-on", "--obj_name", default="basketball")
+    parser.add_argument("-o", "--outpath", default="demo_out")
+    parser.add_argument("-sn", "--save_name", default="demo")
+    parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument("--no-sil", action="store_true")
+    args = parser.parse_args()
+    try:
+        cfg = load_config(args.exp_name)
+    except FileNotFoundError:
+        cfg = ChoreConfig(exp_name=args.exp_name)
+    run_demo(cfg, args.seq_folder, args.obj_name, args.outpath,
+             args.save_name, args.max_frames,
+             use_silhouette=not args.no_sil)
+
+
+if __name__ == "__main__":
+    main()

@@ -137,3 +137,32 @@ def pca_axes(points):
     x = points - points.mean(0)
     _, s, vt = np.linalg.svd(x, full_matrices=False)
     return vt.astype(np.float32)
+
+
+def octasphere(radius=0.2, center=(0, 0, 0), subdiv=2):
+    """Subdivided octahedron projected to a sphere -- a dependency-free
+    test/stand-in mesh."""
+    verts = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+                      [0, 0, 1], [0, 0, -1]], np.float64)
+    faces = np.array([[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+                      [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]])
+    for _ in range(subdiv):
+        new_faces = []
+        verts = list(verts)
+        cache = {}
+    
+        def mid(i, j):
+            k = (min(i, j), max(i, j))
+            if k not in cache:
+                m = (np.asarray(verts[i]) + np.asarray(verts[j])) / 2
+                verts.append(m / np.linalg.norm(m))
+                cache[k] = len(verts) - 1
+            return cache[k]
+    
+        for a, b, c in faces:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            new_faces += [[a, ab, ca], [ab, b, bc], [ca, bc, c], [ab, bc, ca]]
+        faces = np.asarray(new_faces)
+        verts = np.asarray(verts)
+    verts = verts / np.linalg.norm(verts, axis=1, keepdims=True)
+    return (verts * radius + np.asarray(center)).astype(np.float32), faces.astype(np.int32)

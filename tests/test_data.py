@@ -1,0 +1,121 @@
+"""Data pipeline tests: image ops on synthetic data, the loader, and --
+when the bundled reference example is present -- the full test-time prep on
+a real image."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from chore_tpu.data import BehaveTrainData, DataLoader, collate
+from chore_tpu.data import TestImagePrep as ImagePrep
+from chore_tpu.data import image_ops as iops
+
+EXAMPLE = "/root/reference/example/000000117377/k1.color.jpg"
+
+
+class TestImageOps:
+    def test_masks2bbox(self):
+        m1 = np.zeros((100, 120), np.uint8)
+        m1[20:40, 30:50] = 255
+        m2 = np.zeros_like(m1)
+        m2[35:60, 45:80] = 255
+        bmin, bmax = iops.masks2bbox([m1, m2])
+        assert tuple(bmin) == (30, 20)
+        assert tuple(bmax) == (80, 60)
+
+    def test_crop_pads_at_borders(self):
+        img = np.arange(100, dtype=np.float32).reshape(10, 10)
+        out = iops.crop(img, np.array([0, 0]), np.array([6, 6]))
+        assert out.shape == (6, 6)
+        assert out[0, 0] == 0  # padded corner
+
+    def test_compose_rgbm3_removes_background(self):
+        rgb = np.ones((8, 8, 3), np.float32)
+        pm = np.zeros((8, 8), np.float32)
+        om = np.zeros((8, 8), np.float32)
+        pm[2:4, 2:4] = 1.0
+        out = iops.compose_rgbm3(om, pm, rgb)
+        assert out.shape == (8, 8, 5)
+        assert out[0, 0, 0] == 0.0  # background removed
+        assert out[2, 2, 0] == 1.0
+        assert out[2, 2, 3] == 1.0  # person channel
+
+    def test_resize_checks_aspect(self):
+        img = np.zeros((10, 20), np.float32)
+        with pytest.raises(AssertionError):
+            iops.resize(img, (64, 64))
+
+
+class _ToyDataset:
+    def __init__(self, n=23):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"x": np.full((3,), i, np.float32), "path": f"p{i}"}
+
+
+class TestLoader:
+    def test_batching_and_drop_last(self):
+        loader = DataLoader(_ToyDataset(23), batch_size=4, shuffle=False,
+                            num_workers=2)
+        batches = list(loader)
+        assert len(batches) == 5  # 23 // 4
+        assert batches[0]["x"].shape == (4, 3)
+        assert batches[0]["path"] == ["p0", "p1", "p2", "p3"]
+
+    def test_sharding_partitions(self):
+        a = DataLoader(_ToyDataset(16), batch_size=2, shuffle=False,
+                       shard_index=0, shard_count=2, num_workers=1)
+        b = DataLoader(_ToyDataset(16), batch_size=2, shuffle=False,
+                       shard_index=1, shard_count=2, num_workers=1)
+        xa = np.concatenate([bt["x"][:, 0] for bt in a])
+        xb = np.concatenate([bt["x"][:, 0] for bt in b])
+        assert len(set(xa) & set(xb)) == 0
+        assert len(set(xa) | set(xb)) == 16
+
+    def test_epoch_shuffling_differs(self):
+        loader = DataLoader(_ToyDataset(16), batch_size=16, shuffle=True,
+                            num_workers=1)
+        loader.set_epoch(0)
+        x0 = next(iter(loader))["x"][:, 0]
+        loader.set_epoch(1)
+        x1 = next(iter(loader))["x"][:, 0]
+        assert not np.array_equal(x0, x1)
+
+
+@pytest.mark.skipif(not os.path.isfile(EXAMPLE),
+                    reason="bundled reference example not available")
+class TestExampleImagePrep:
+    def test_full_prep(self, tmp_path):
+        prep = ImagePrep(use_mean_center=True,
+                             crop_info_dir=str(tmp_path))
+        item = prep.prepare(EXAMPLE)
+        assert item["images"].shape == (512, 512, 5)
+        assert item["images"].min() >= 0 and item["images"].max() <= 1.0
+        # person and object masks non-empty in the crop
+        assert item["images"][..., 3].sum() > 100
+        assert item["images"][..., 4].sum() > 100
+        assert item["mocap_pose"].shape == (72,)
+        assert item["mocap_betas"].shape == (10,)
+        assert 0.3 < item["crop_scale"] < 3.0
+        # keypoints with confidence land inside the net input
+        k = item["kpts"]
+        conf = k[:, 2] > 0.3
+        assert conf.sum() >= 10
+        assert (k[conf, :2] >= -50).all() and (k[conf, :2] <= 562).all()
+        # crop info persisted to the redirect dir
+        assert os.path.isfile(
+            tmp_path / "k1.crop_info.pkl"
+        )
+
+    def test_collated_batch(self, tmp_path):
+        prep = ImagePrep(use_mean_center=True,
+                             crop_info_dir=str(tmp_path))
+        item = prep.prepare(EXAMPLE)
+        batch = collate([item, item])
+        assert batch["images"].shape == (2, 512, 512, 5)
+        assert batch["kpts"].shape == (2, 25, 3)

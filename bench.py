@@ -23,7 +23,8 @@ def main():
 
     B, N = 8, 50000
     cfg = FieldConfig()
-    model = CHOREField(cfg=cfg)
+    # inference precision: bf16 encoder (MXU native), f32 heads
+    model = CHOREField(cfg=cfg, encoder_dtype=jnp.bfloat16)
 
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.rand(B, 512, 512, 5).astype(np.float32))

@@ -17,7 +17,8 @@ from chore_tpu.utils.meshio import load_ply
 
 
 def build_model(cfg: ChoreConfig):
-    model = CHOREField(cfg=cfg.field_config())
+    model = CHOREField(cfg=cfg.field_config(),
+                       encoder_dtype=cfg.encoder_dtype())
     import jax.numpy as jnp
 
     params = model.init(

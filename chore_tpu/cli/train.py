@@ -20,7 +20,7 @@ from chore_tpu.train import Trainer
 
 
 def launch_train(cfg: ChoreConfig, exp_root="experiments", epochs=None,
-                 ck_period_min=60.0):
+                 ck_period_min=60.0, profile_dir=None):
     import jax
 
     init_distributed()
@@ -33,7 +33,7 @@ def launch_train(cfg: ChoreConfig, exp_root="experiments", epochs=None,
     trainer = Trainer(
         model, params, exp_dir, mesh=mesh,
         base_lr=cfg.learning_rate, milestones=tuple(cfg.milestones),
-        ck_period_min=ck_period_min,
+        ck_period_min=ck_period_min, profile_dir=profile_dir,
     )
 
     train_paths, val_paths = DataPaths.load_splits(cfg.split_file)
@@ -79,12 +79,16 @@ def main():
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--exp-root", default="experiments")
     parser.add_argument("--ck-period-min", type=float, default=60.0)
+    parser.add_argument("--profile-dir", default=None,
+                        help="write a jax.profiler device trace of early "
+                             "training steps here")
     args = parser.parse_args()
     try:
         cfg = load_config(args.exp_name)
     except FileNotFoundError:
         cfg = ChoreConfig(exp_name=args.exp_name)
-    launch_train(cfg, args.exp_root, args.epochs, args.ck_period_min)
+    launch_train(cfg, args.exp_root, args.epochs, args.ck_period_min,
+                 profile_dir=args.profile_dir)
 
 
 if __name__ == "__main__":

@@ -41,6 +41,7 @@ class ChoreConfig:
     random_flip: bool = False
     aug_blur: float = 0.0
     # model
+    precision: str = "mixed"  # "mixed": bf16 encoder/f32 heads; "float32"
     num_stack: int = 5
     num_hourglass: int = 2
     hourglass_dim: int = 256
@@ -58,6 +59,11 @@ class ChoreConfig:
     filter_val: float = 0.004
     sparse_thres: float = 0.03
     seq_folder: Optional[str] = None
+
+    def encoder_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16 if self.precision == "mixed" else jnp.float32
 
     def field_config(self) -> FieldConfig:
         return FieldConfig(

@@ -74,10 +74,18 @@ class Decoder(nn.Module):
 
 class CHOREField(nn.Module):
     """Encoder + 4 decoder heads. Use ``encode`` once per image, then
-    ``query`` any number of times (the fitting loops re-query constantly)."""
+    ``query`` any number of times (the fitting loops re-query constantly).
+
+    Mixed precision: ``encoder_dtype=bfloat16`` runs every conv on the MXU's
+    native dtype while GroupNorm statistics stay float32 (flax promotes
+    norm compute to the f32 params) and the decoder heads keep ``dtype``
+    (f32) so df values retain full resolution for the 0.004-level surface
+    filtering and gradient-based projection. Params are always f32.
+    """
 
     cfg: FieldConfig = FieldConfig()
     dtype: jnp.dtype = jnp.float32
+    encoder_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         c = self.cfg
@@ -86,7 +94,7 @@ class CHOREField(nn.Module):
             depth=c.num_hourglass,
             features=256,
             out_dim=c.hourglass_dim,
-            dtype=self.dtype,
+            dtype=self.encoder_dtype,
             name="image_filter",
         )
         self.df = Decoder(c.hidden_dim, 2, self.dtype, name="df")
@@ -142,12 +150,18 @@ class CHOREField(nn.Module):
             & (xy[..., 1] >= -1.0)
             & (xy[..., 1] <= 1.0)
         )
-        tmpx_local = bilinear_sample(tmpx, xy)  # (B, N, 64)
+        # gathers run in the encoder dtype (halves HBM traffic under bf16)
+        tmpx_local = bilinear_sample(
+            tmpx.astype(self.encoder_dtype), xy
+        ).astype(self.dtype)  # (B, N, 64)
 
         preds_list = []
         for feat in feats:
+            sampled = bilinear_sample(
+                feat.astype(self.encoder_dtype), xy
+            ).astype(self.dtype)
             point_feat = jnp.concatenate(
-                [bilinear_sample(feat, xy), z_feat, tmpx_local], axis=-1
+                [sampled, z_feat.astype(self.dtype), tmpx_local], axis=-1
             )
             preds = self.decode(point_feat)
             preds["df"] = jnp.where(

@@ -32,6 +32,7 @@ from chore_tpu.smpl.assets import load_part_labels
 from chore_tpu.smpl.model import SMPLH, init_params, pack_pose
 from chore_tpu.smpl.priors import make_body_prior, make_hand_prior
 from chore_tpu.utils.meshio import pca_axes, sample_surface
+from chore_tpu.utils.profiling import StepTimer
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,6 +86,7 @@ class ReconFitter:
         self.hand_prior = make_hand_prior(assets_dir)
         self.camera = PerspectiveCamera(crop_size=cfg.crop_size)
         self.generator = Generator(model, params, sampler_cfg)
+        self.timer = StepTimer()  # per-phase wall time, see timer.summary()
 
     # ------------------------------------------------------------------ #
     def make_query_fn(self, images, crop_center):
@@ -299,7 +301,9 @@ class ReconFitter:
         query_fn = self.make_query_fn(images, crop_center)
         k_gen, k_smpl, k_obj = jax.random.split(key, 3)
 
-        pc = self.generator.generate_pclouds(images, crop_center, k_gen)
+        with self.timer.phase("generate_pclouds"):
+            pc = self.generator.generate_pclouds(images, crop_center, k_gen)
+            jax.block_until_ready(pc["object"]["points"])
         human_t = pc["human"]["centers"][:, :3]
         human_t = human_t.at[:, 2].set(self.cfg.z0)  # fixed depth
 
@@ -307,10 +311,12 @@ class ReconFitter:
         pose_init = jax.lax.stop_gradient(
             pack_pose(smpl_params)[:, 3:72]
         )
-        smpl_params, scale = self.optimize_smpl(
-            smpl_params, query_fn, jnp.asarray(kpts2d), crop_center,
-            pose_init, k_smpl,
-        )
+        with self.timer.phase("optimize_smpl"):
+            smpl_params, scale = self.optimize_smpl(
+                smpl_params, query_fn, jnp.asarray(kpts2d), crop_center,
+                pose_init, k_smpl,
+            )
+            jax.block_until_ready(smpl_params)
 
         obj_params = self.init_obj_params(pc, human_t, scale)
         sil = None
@@ -321,9 +327,11 @@ class ReconFitter:
                 np.asarray(crop_center), rend_size=self.cfg.sil_rend_size,
                 crop_size=self.cfg.crop_size, net_input=self.cfg.net_in_size,
             )
-        obj_params = self.optimize_smpl_object(
-            smpl_params, obj_params, query_fn, sil, k_obj
-        )
+        with self.timer.phase("optimize_object"):
+            obj_params = self.optimize_smpl_object(
+                smpl_params, obj_params, query_fn, sil, k_obj
+            )
+            jax.block_until_ready(obj_params)
         return {
             "smpl_params": smpl_params,
             "obj_params": obj_params,

@@ -87,7 +87,8 @@ class Trainer:
 
     def __init__(self, model: CHOREField, params, exp_dir, mesh=None,
                  base_lr=1e-3, milestones=(15, 25), gamma=0.3,
-                 optimizer="adam", ck_period_min=60.0):
+                 optimizer="adam", ck_period_min=60.0,
+                 profile_dir=None, profile_steps=20):
         self.model = model
         self.exp_dir = exp_dir
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -108,6 +109,8 @@ class Trainer:
         self.training_time = 0.0
         self.global_step = 0
         self.logger = MetricsLogger(exp_dir, enabled=is_main_process())
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
 
         batch_shard = data_sharding(self.mesh)
         rep = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
@@ -184,14 +187,29 @@ class Trainer:
 
     def train_model(self, train_batches_fn, num_epochs, val_batches_fn=None):
         """train_batches_fn(epoch) -> iterable of host batches."""
+        from chore_tpu.utils.profiling import trace
+
         self.load()
         last_ck = time.time()
         self._seg_start = time.time()
+        profiling = False
         while self.epoch < num_epochs:
             lr = self.set_epoch_lr(self.epoch)
             epoch_losses = []
             for batch in train_batches_fn(self.epoch):
+                # device trace of steps 2..2+profile_steps (skip compiles)
+                if (self.profile_dir and not profiling
+                        and self.global_step == 2 and is_main_process()):
+                    self._trace = trace(self.profile_dir)
+                    self._trace.__enter__()
+                    profiling = True
                 loss, parts = self.train_step(batch)
+                if (profiling
+                        and self.global_step >= 2 + self.profile_steps):
+                    jax.block_until_ready(loss)
+                    self._trace.__exit__(None, None, None)
+                    profiling = False
+                    self.profile_dir = None
                 epoch_losses.append(float(loss))
                 if self.global_step % 50 == 0:
                     self.logger.log(self.global_step, loss=float(loss), lr=lr,

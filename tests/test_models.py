@@ -165,3 +165,28 @@ class TestCHOREField:
         }
         total, parts = chore_losses(preds, batch, TINY)
         assert float(total) < 1e-5
+
+
+class TestMixedPrecision:
+    def test_bf16_encoder_close_to_f32(self, field_model):
+        """The mixed-precision path (bf16 encoder, f32 norms+heads) must
+        track the f32 path closely enough for the 0.004-level df filtering."""
+        model32, params = field_model
+        model16 = CHOREField(cfg=TINY, encoder_dtype=jnp.bfloat16)
+        rng = np.random.RandomState(0)
+        images = jnp.asarray(rng.rand(2, 64, 64, 5).astype(np.float32))
+        points = jnp.asarray(
+            (rng.rand(2, 64, 3) * [2, 2, 0.5] + [-1, -1, 1.95]).astype(
+                np.float32
+            )
+        )
+        cc = jnp.asarray(np.tile([[1018.0, 779.0]], (2, 1)).astype(np.float32))
+        p32 = model32.apply(params, images, points, cc, train=False)[-1]
+        p16 = model16.apply(params, images, points, cc, train=False)[-1]
+        assert p16["df"].dtype == jnp.float32  # heads stay f32
+        scale = float(jnp.abs(p32["df"]).mean())
+        err = float(jnp.abs(p16["df"] - p32["df"]).max())
+        assert err < 0.05 * max(scale, 1.0), (err, scale)
+        # part argmax labels essentially unchanged
+        agree = (p16["parts"].argmax(-1) == p32["parts"].argmax(-1)).mean()
+        assert float(agree) > 0.95

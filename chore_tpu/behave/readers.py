@@ -178,6 +178,10 @@ class FrameDataReader(KinectFrameReader):
         name = self.seq_info.get_obj_name(convert=True)
         path = join(self.get_frame_folder(idx), name, save_name,
                     f"{name}_fit.pkl")
+        if not isfile(path):  # same raw-name fallback as objfit_meshfile
+            name = self.seq_info.get_obj_name()
+            path = join(self.get_frame_folder(idx), name, save_name,
+                        f"{name}_fit.pkl")
         if not isfile(path):
             return None, None
         with open(path, "rb") as f:

@@ -34,10 +34,12 @@ def main():
     crop_center = jnp.asarray(
         np.tile([[1018.0, 779.0]], (B, 1)).astype(np.float32)
     )
-    params = model.init(
-        jax.random.PRNGKey(0), images[:1], points[:1, :8], crop_center[:1],
-        train=False,
-    )
+    # init on CPU at a small image size (weight shapes are size-independent)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 5)),
+            points[:1, :8], crop_center[:1], train=False,
+        )
 
     @jax.jit
     def forward(params, images, points, crop_center):

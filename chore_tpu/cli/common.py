@@ -21,13 +21,17 @@ def build_model(cfg: ChoreConfig):
                        encoder_dtype=cfg.encoder_dtype())
     import jax.numpy as jnp
 
-    params = model.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, cfg.net_img_size[0], cfg.net_img_size[1], 5)),
-        jnp.zeros((1, 8, 3)),
-        jnp.zeros((1, 2)),
-        train=False,
-    )
+    # init on the CPU backend at a tiny image size: weight shapes are
+    # image-size independent, and init only exists to sample them -- not
+    # worth an accelerator compile of the full 512^2 graph
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 64, 64, 5)),
+            jnp.zeros((1, 8, 3)),
+            jnp.zeros((1, 2)),
+            train=False,
+        )
     return model, params
 
 

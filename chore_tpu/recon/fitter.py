@@ -2,7 +2,7 @@
 
 TPU-native rewrite of the reference's ReconFitterBase/ReconFitterBehave
 (reference: recon/recon_fit_base.py:48-845, recon/recon_fit_behave.py:28-358).
-The phase schedule is preserved exactly; each phase runs as one jitted
+The phase schedule is preserved exactly; each stage runs as one jitted
 on-device while_loop (see optimize.py) instead of ~1800 host-driven torch
 Adam steps:
 
@@ -13,6 +13,13 @@ Adam steps:
           -> 'sil' x50 (R, t, s; silhouette + trans/scale regs; lr .006)
           -> 'joint' x<=100 (t, s only; +contact +collision; lr .002,
              early stop, decay (it+1)/5 continuing the global schedule)
+
+Compilation model: the three heavy stages -- encode, the full SMPL phase
+chain, the full object phase chain -- are per-instance jitted PURE
+functions whose per-frame data (features, keypoints, crop centers,
+silhouette ROI tensors, mocap init) arrive as arguments, never as closure
+captures. Each stage therefore compiles once per shape and is reused for
+every frame of a sequence; host-side glue between stages is numpy.
 """
 from __future__ import annotations
 
@@ -27,7 +34,7 @@ from chore_tpu.ops.rotation import init_object_orientation, project_so3, project
 from chore_tpu.recon import losses as L
 from chore_tpu.recon.generator import Generator, SamplerConfig
 from chore_tpu.recon.optimize import PhaseSpec, freeze_all_except, run_phase
-from chore_tpu.recon.silhouette import SilhouetteLossROI
+from chore_tpu.recon.silhouette import SilhouetteLossROI, silhouette_loss
 from chore_tpu.smpl.assets import load_part_labels
 from chore_tpu.smpl.model import SMPLH, init_params, pack_pose
 from chore_tpu.smpl.priors import make_body_prior, make_hand_prior
@@ -88,49 +95,53 @@ class ReconFitter:
         self.generator = Generator(model, params, sampler_cfg)
         self.timer = StepTimer()  # per-phase wall time, see timer.summary()
 
-    # ------------------------------------------------------------------ #
-    def make_query_fn(self, images, crop_center):
-        """Encode once; return query closure (points -> last-stack heads)."""
-        feats, tmpx = self.model.apply(
-            self.params, images, train=False, method="encode"
+        # per-instance jitted stages (pure in params + per-frame data)
+        self._jit_fit_smpl = jax.jit(self._fit_smpl_pure)
+        self._jit_fit_object = jax.jit(
+            self._fit_object_pure, static_argnames=("use_sil",)
         )
+        self._jit_verts = jax.jit(self.smplh.verts)
 
-        def query_fn(points):
-            preds = self.model.apply(
-                self.params, feats, tmpx, points, crop_center, method="query"
-            )
-            return preds[-1]
-
-        return query_fn
+    # ------------------------------------------------------------------ #
+    def _query(self, params, feats, tmpx, points, crop_center):
+        """Last-stack field query as a pure function (traced inside the
+        stage jits)."""
+        preds = self.model.apply(
+            params, feats, tmpx, points, crop_center, method="query"
+        )
+        return preds[-1]
 
     def smpl_height(self, smpl_params):
         verts = self.smplh.verts(smpl_params)
         return verts[..., 1].max(-1) - verts[..., 1].min(-1)  # (B,)
 
     # ------------------------------------------------------------------ #
-    def optimize_smpl(self, smpl_params, query_fn, kpts2d, crop_center,
-                      pose_init, key):
-        """SMPL phases (reference: recon_fit_behave.py:224-291).
-
-        Returns (smpl_params, scale (B,)) where scale is the body-height
-        ratio after/before used to initialize the object scale.
-        """
+    def _fit_smpl_pure(self, params, feats, tmpx, crop_center, mocap_pose,
+                       mocap_betas, human_t, kpts2d, key):
+        """SMPL phases (reference: recon_fit_behave.py:224-291), all inside
+        one jit. Returns (smpl_params, scale) where scale is the body-height
+        ratio after/before, used to initialize the object scale."""
         cfg = self.cfg
+        smpl_params = init_params(mocap_pose, mocap_betas, human_t)
+        pose_init = jax.lax.stop_gradient(pack_pose(smpl_params)[:, 3:72])
         height_init = self.smpl_height(smpl_params)
 
-        def smpl_losses(params, phase_kpts, decay, k):
+        def query_fn(points):
+            return self._query(params, feats, tmpx, points, crop_center)
+
+        def smpl_losses(sp, phase_kpts, decay, k):
             ld = {}
-            verts = self.smplh.verts(params)
+            verts = self.smplh.verts(sp)
             preds = query_fn(verts)
             ld["df_h"] = L.df_h_loss(preds["df"][..., 0])
-            pose = pack_pose(params)
+            pose = pack_pose(sp)
             ld["pose"] = self.body_prior(pose).mean()
             ld["hand"] = self.hand_prior(pose).mean()
             ld["part"] = L.part_ce_loss(
                 preds["parts"],
                 jnp.tile(self.part_labels[None], (verts.shape[0], 1)),
             )
-            joints = self.smplh.get_landmarks(params)[0]
+            joints = self.smplh.get_landmarks(sp)[0]
             ld["smplz"] = L.smplz_loss(joints, cfg.z0)
             ld["pinit"] = L.pinit_loss(pose, pose_init)
             if phase_kpts:
@@ -167,33 +178,17 @@ class ReconFitter:
                              "top_betas", "other_betas"),
                          decay_fn=lambda it: (it + offset) / 3.0,
                          early_stop_after=0.25, early_stop_rel=1e-3)
-        smpl_params, _, n = run_phase(
+        smpl_params, _, _ = run_phase(
             lambda p, d, k: smpl_losses(p, True, d, k), smpl_params, spec, k3)
 
         scale = self.smpl_height(smpl_params) / height_init
         return smpl_params, scale
 
     # ------------------------------------------------------------------ #
-    def init_obj_params(self, pc_generated, human_t, scale):
-        """Object init from neural predictions
-        (reference: recon_fit_base.py:720-747)."""
-        obj = pc_generated["object"]
-        obj_t = obj["centers"][:, 3:] + human_t
-        B = obj_t.shape[0]
-        pca_pred = obj["pca_axis"]  # (B, 3, 3)
-        obj_r = init_object_orientation(
-            pca_pred, jnp.tile(self.pca_init[None], (B, 1, 1))
-        )
-        return {
-            "obj_R": obj_r,
-            "obj_t": obj_t,
-            "obj_s": jnp.asarray(scale),
-        }
-
     def transform_obj(self, obj_params, key=None, points=None):
         """scale * (template @ R + t) (reference: recon_fit_base.py:361-371).
         R is re-projected to SO(3) each evaluation (+jitter when key given)."""
-        pts = self.obj_points if points is None else points
+        pts = self.obj_points if points is None else jnp.asarray(points)
         if key is not None:
             R = project_so3_jittered(obj_params["obj_R"], key)
         else:
@@ -202,36 +197,49 @@ class ReconFitter:
         return v * obj_params["obj_s"][:, None, None]
 
     # ------------------------------------------------------------------ #
-    def optimize_smpl_object(self, smpl_params, obj_params, query_fn,
-                             sil: SilhouetteLossROI, key):
-        """Object phases (reference: recon_fit_behave.py:90-163)."""
+    def _fit_object_pure(self, params, feats, tmpx, crop_center, smpl_params,
+                         obj_center_rel, obj_pca_pred, human_t, scale,
+                         sil_data, key, use_sil):
+        """Object init + phases (reference: recon_fit_base.py:720-747 +
+        recon_fit_behave.py:90-163), all inside one jit."""
         cfg = self.cfg
+
+        def query_fn(points):
+            return self._query(params, feats, tmpx, points, crop_center)
+
+        # init from neural predictions (recon_fit_base.py:720-747)
+        B = human_t.shape[0]
+        obj_params = {
+            "obj_R": init_object_orientation(
+                obj_pca_pred, jnp.tile(self.pca_init[None], (B, 1, 1))
+            ),
+            "obj_t": obj_center_rel + human_t,
+            "obj_s": jnp.asarray(scale),
+        }
+
         smpl_verts = self.smplh.verts(smpl_params)  # smpl frozen here
-        smpl_faces = jnp.asarray(self.smplh.faces)
         normals = L.vertex_normals(smpl_verts, np.asarray(self.smplh.faces))
         # smpl_center_pred computed once (recon_fit_behave.py:113)
         smpl_center_pred = jnp.mean(
             query_fn(smpl_verts)["centers"][..., :3], axis=1
         )
-        part_labels_b = jnp.tile(
-            self.part_labels[None], (smpl_verts.shape[0], 1)
-        )
         trans_init = jax.lax.stop_gradient(obj_params["obj_t"])
 
-        def obj_losses(params, phase, decay, k):
+        def obj_losses(op, phase, decay, k):
             ld = {}
-            obj = self.transform_obj(params, key=k)
+            obj = self.transform_obj(op, key=k)
             if phase == "sil":
-                ld["mask"], _ = sil(
-                    project_so3(params["obj_R"]), params["obj_t"],
-                    params["obj_s"],
+                ld["mask"], _ = silhouette_loss(
+                    sil_data, self.template_verts, self.template_faces,
+                    project_so3(op["obj_R"]), op["obj_t"], op["obj_s"],
+                    cfg.sil_rend_size,
                 )
-                ld["scale"] = L.scale_loss(params["obj_s"], cfg.obj_scale)
-                ld["trans"] = jnp.mean((params["obj_t"] - trans_init) ** 2)
+                ld["scale"] = L.scale_loss(op["obj_s"], cfg.obj_scale)
+                ld["trans"] = jnp.mean((op["obj_t"] - trans_init) ** 2)
             else:
                 preds_o = query_fn(obj)
                 ld["object"] = L.df_o_loss(preds_o["df"][..., 1])
-                ld["scale"] = L.scale_loss(params["obj_s"], cfg.obj_scale)
+                ld["scale"] = L.scale_loss(op["obj_s"], cfg.obj_scale)
                 obj_center_pred = smpl_center_pred + jnp.mean(
                     preds_o["centers"][..., 3:], axis=1
                 )
@@ -258,12 +266,13 @@ class ReconFitter:
             lambda p, d, k: obj_losses(p, "obj", d, k), obj_params, spec, k1)
 
         # 'sil' x iter_sil, lr .006, decay it+1
-        if sil is not None:
+        if use_sil:
             spec = PhaseSpec(lr=0.006, n_iters=cfg.iter_sil,
                              steps_per_iter=cfg.steps_per_iter,
                              decay_fn=lambda it: it + 1.0)
             obj_params, _, _ = run_phase(
-                lambda p, d, k: obj_losses(p, "sil", d, k), obj_params, spec, k2)
+                lambda p, d, k: obj_losses(p, "sil", d, k), obj_params, spec,
+                k2)
 
         # 'joint' x <= iter_joint_max, lr .002, t+s only, early stop,
         # decay continues the global schedule: (global_it - iter_obj + 1)/5
@@ -297,39 +306,47 @@ class ReconFitter:
         """
         key = key if key is not None else jax.random.PRNGKey(0)
         images = jnp.asarray(images)
-        crop_center = jnp.asarray(crop_center)
-        query_fn = self.make_query_fn(images, crop_center)
+        crop_center = jnp.asarray(np.asarray(crop_center, np.float32))
         k_gen, k_smpl, k_obj = jax.random.split(key, 3)
 
+        with self.timer.phase("encode"):
+            feats, tmpx = self.generator.encode(images)
+            jax.block_until_ready(tmpx)
         with self.timer.phase("generate_pclouds"):
-            pc = self.generator.generate_pclouds(images, crop_center, k_gen)
+            pc = self.generator.generate_from_feats(
+                feats, tmpx, crop_center, k_gen
+            )
             jax.block_until_ready(pc["object"]["points"])
-        human_t = pc["human"]["centers"][:, :3]
-        human_t = human_t.at[:, 2].set(self.cfg.z0)  # fixed depth
 
-        smpl_params = init_params(mocap_poses, mocap_betas, human_t)
-        pose_init = jax.lax.stop_gradient(
-            pack_pose(smpl_params)[:, 3:72]
-        )
+        human_t = np.asarray(pc["human"]["centers"][:, :3]).copy()
+        human_t[:, 2] = self.cfg.z0  # fixed depth
+        human_t = jnp.asarray(human_t)
+
         with self.timer.phase("optimize_smpl"):
-            smpl_params, scale = self.optimize_smpl(
-                smpl_params, query_fn, jnp.asarray(kpts2d), crop_center,
-                pose_init, k_smpl,
+            smpl_params, scale = self._jit_fit_smpl(
+                self.params, feats, tmpx, crop_center,
+                jnp.asarray(np.asarray(mocap_poses, np.float32)),
+                jnp.asarray(np.asarray(mocap_betas, np.float32)),
+                human_t, jnp.asarray(np.asarray(kpts2d, np.float32)), k_smpl,
             )
             jax.block_until_ready(smpl_params)
 
-        obj_params = self.init_obj_params(pc, human_t, scale)
-        sil = None
+        sil_data = None
         if use_silhouette:
-            sil = SilhouetteLossROI(
-                np.asarray(images[..., 3]), np.asarray(images[..., 4]),
-                self.template_verts, self.template_faces,
-                np.asarray(crop_center), rend_size=self.cfg.sil_rend_size,
-                crop_size=self.cfg.crop_size, net_input=self.cfg.net_in_size,
-            )
+            with self.timer.phase("silhouette_prep"):
+                sil_data = SilhouetteLossROI(
+                    np.asarray(images[..., 3]), np.asarray(images[..., 4]),
+                    self.template_verts, self.template_faces,
+                    np.asarray(crop_center),
+                    rend_size=self.cfg.sil_rend_size,
+                    crop_size=self.cfg.crop_size,
+                    net_input=self.cfg.net_in_size,
+                ).data
         with self.timer.phase("optimize_object"):
-            obj_params = self.optimize_smpl_object(
-                smpl_params, obj_params, query_fn, sil, k_obj
+            obj_params = self._jit_fit_object(
+                self.params, feats, tmpx, crop_center, smpl_params,
+                pc["object"]["centers"][:, 3:], pc["object"]["pca_axis"],
+                human_t, scale, sil_data, k_obj, use_sil=use_silhouette,
             )
             jax.block_until_ready(obj_params)
         return {

@@ -177,30 +177,50 @@ def make_surface_sampler(query_fn, cfg: SamplerConfig = SamplerConfig()):
 
 
 class Generator:
-    """Convenience wrapper: encode an image batch once, then generate human
-    and object point clouds (reference: generator.py:102-121)."""
+    """Encode an image batch once, then generate human and object point
+    clouds (reference: generator.py:102-121).
+
+    Both the encoder and the sampler are per-instance jitted PURE functions
+    taking params/features as explicit arguments -- nothing per-frame is
+    closed over, so each compiles exactly once and is reused across every
+    frame of a sequence (the reference re-dispatches per frame)."""
 
     def __init__(self, model, params, cfg: SamplerConfig = SamplerConfig()):
         self.model = model
         self.params = params
         self.cfg = cfg
 
+        def encode(params, images):
+            return model.apply(params, images, train=False, method="encode")
+
+        def sample(params, feats, tmpx, crop_center, key, df_idx):
+            def query_fn(points):
+                preds = model.apply(
+                    params, feats, tmpx, points, crop_center, method="query"
+                )
+                return preds[-1]
+
+            sampler = make_surface_sampler(query_fn, cfg)
+            return sampler(key, df_idx, tmpx.shape[0])
+
+        self._encode = jax.jit(encode)
+        self._sample = jax.jit(sample, static_argnums=(5,))
+
+    def encode(self, images):
+        return self._encode(self.params, jnp.asarray(images))
+
+    def sample_from_feats(self, feats, tmpx, crop_center, key, df_idx):
+        return self._sample(self.params, feats, tmpx, crop_center, key,
+                            df_idx)
+
     def generate_pclouds(self, images, crop_center, key=None):
         key = key if key is not None else jax.random.PRNGKey(0)
-        B = images.shape[0]
-        feats, tmpx = self.model.apply(
-            self.params, images, train=False, method="encode"
-        )
+        feats, tmpx = self.encode(images)
+        return self.generate_from_feats(feats, tmpx, crop_center, key)
 
-        def query_fn(points):
-            preds = self.model.apply(
-                self.params, feats, tmpx, points, crop_center, method="query"
-            )
-            return preds[-1]
-
-        sampler = make_surface_sampler(query_fn, self.cfg)
+    def generate_from_feats(self, feats, tmpx, crop_center, key):
         kh, ko = jax.random.split(key)
         return {
-            "human": sampler(kh, 0, B),
-            "object": sampler(ko, 1, B),
+            "human": self.sample_from_feats(feats, tmpx, crop_center, kh, 0),
+            "object": self.sample_from_feats(feats, tmpx, crop_center, ko, 1),
         }

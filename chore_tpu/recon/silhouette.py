@@ -109,22 +109,54 @@ class SilhouetteLossROI:
             bbox_orig[:2] += np.asarray(crop_centers[i]) - crop_size / 2.0
             k_rois.append(compute_k_roi(bbox_orig))
             edts.append(edge_distance_transform(fore.astype(np.float32)))
-        self.image_ref = jnp.asarray(np.stack(image_refs))
-        self.keep_mask = jnp.asarray(np.stack(keep_masks))
-        self.edt_ref = jnp.asarray(np.stack(edts))
-        self.k_rois = jnp.asarray(np.stack(k_rois))
-        self.verts = jnp.asarray(np.asarray(template_verts, np.float32))
-        self.faces = jnp.asarray(np.asarray(template_faces, np.int32))
+        # host-side numpy; consumers pass .data through their jitted fns
+        self.data = {
+            "image_ref": np.stack(image_refs),
+            "keep_mask": np.stack(keep_masks),
+            "edt_ref": np.stack(edts),
+            "k_rois": np.stack(k_rois),
+        }
+        self.verts = np.asarray(template_verts, np.float32)
+        self.faces = np.asarray(template_faces, np.int32)
         self.rend_size = rend_size
 
     def __call__(self, R, t, s):
-        """Render the transformed template and compare to the reference
-        silhouette (reference: obj_pose_roi.py:159-172). Returns
-        (loss (scalar), rendered (B, S, S))."""
-        verts = jnp.einsum("vd,bde->bve", self.verts, R) + t[:, None, :]
-        verts = verts * s[:, None, None]
-        ndc = project_unit_k(verts, self.k_rois)
-        image = soft_silhouette(ndc, self.faces, image_size=self.rend_size)
-        image = self.keep_mask * image
-        loss = jnp.sum((image - self.image_ref) ** 2, axis=(1, 2)).mean()
-        return loss, image
+        return silhouette_loss(self.data, self.verts, self.faces, R, t, s,
+                               self.rend_size)
+
+    @property
+    def image_ref(self):
+        return self.data["image_ref"]
+
+    @property
+    def keep_mask(self):
+        return self.data["keep_mask"]
+
+    @property
+    def k_rois(self):
+        return self.data["k_rois"]
+
+    @property
+    def edt_ref(self):
+        return self.data["edt_ref"]
+
+
+def silhouette_loss(sil_data, template_verts, faces, R, t, s, rend_size=256):
+    """Pure silhouette loss: render the transformed template in the ROI and
+    compare to the reference mask (reference: obj_pose_roi.py:159-172).
+
+    Args:
+      sil_data: dict with image_ref/keep_mask/k_rois (B, ...) arrays
+        (from SilhouetteLossROI.data).
+      template_verts: (Vt, 3); faces: (Ft, 3).
+      R: (B, 3, 3); t: (B, 3); s: (B,).
+
+    Returns (loss scalar, rendered (B, S, S)).
+    """
+    verts = jnp.einsum("vd,bde->bve", jnp.asarray(template_verts), R)
+    verts = (verts + t[:, None, :]) * s[:, None, None]
+    ndc = project_unit_k(verts, sil_data["k_rois"])
+    image = soft_silhouette(ndc, jnp.asarray(faces), image_size=rend_size)
+    image = sil_data["keep_mask"] * image
+    loss = jnp.sum((image - sil_data["image_ref"]) ** 2, axis=(1, 2)).mean()
+    return loss, image

@@ -17,6 +17,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from chore_tpu.ops.rotation import axis_angle_to_matrix
 
@@ -45,13 +46,16 @@ class SMPLModel(NamedTuple):
 
 def model_from_arrays(data) -> tuple[SMPLModel, tuple]:
     """Build an SMPLModel + static parents tuple from a loader dict."""
+    # numpy on purpose: arrays embed as constants when traced into jitted
+    # computations; eager jnp.asarray here would pay a per-array device
+    # transfer at construction time (50+ MB through a remote-device tunnel)
     model = SMPLModel(
-        v_template=jnp.asarray(data["v_template"]),
-        shapedirs=jnp.asarray(data["shapedirs"]),
-        posedirs=jnp.asarray(data["posedirs"]),
-        j_regressor=jnp.asarray(data["j_regressor"]),
-        weights=jnp.asarray(data["weights"]),
-        faces=jnp.asarray(data["faces"]),
+        v_template=np.asarray(data["v_template"], np.float32),
+        shapedirs=np.asarray(data["shapedirs"], np.float32),
+        posedirs=np.asarray(data["posedirs"], np.float32),
+        j_regressor=np.asarray(data["j_regressor"], np.float32),
+        weights=np.asarray(data["weights"], np.float32),
+        faces=np.asarray(data["faces"], np.int32),
     )
     parents = tuple(int(p) for p in data["parents"])
     return model, parents

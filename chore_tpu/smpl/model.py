@@ -52,9 +52,10 @@ class SMPLH:
     def __init__(self, model_arrays, assets_dir=None):
         self.model, self.parents = model_from_arrays(model_arrays)
         regs = load_landmark_regressors(assets_dir)
-        self.body25_reg = jnp.asarray(regs["body25"])  # (25, V)
-        self.face_reg = jnp.asarray(regs["face"])  # (70, V)
-        self.hand_reg = jnp.asarray(regs["hand"])  # (42, V)
+        # numpy (not device arrays): embedded as constants at trace time
+        self.body25_reg = np.asarray(regs["body25"], np.float32)  # (25, V)
+        self.face_reg = np.asarray(regs["face"], np.float32)  # (70, V)
+        self.hand_reg = np.asarray(regs["hand"], np.float32)  # (42, V)
         self.faces = np.asarray(self.model.faces)
 
     def forward(self, params, offsets=None):

@@ -56,15 +56,25 @@ def load_ply(path):
             dtype = np.dtype([(n, type_map[t]) for n, t in vert_props])
             data = np.frombuffer(f.read(n_verts * dtype.itemsize), dtype)
             verts = np.stack([data[n] for n, _ in vert_props], axis=1)
+            raw = f.read()
             faces = []
-            for _ in range(n_faces):
-                (cnt,) = struct.unpack("<B", f.read(1))
-                idx = struct.unpack(f"<{cnt}i", f.read(4 * cnt))
-                if cnt == 3:
-                    faces.append(idx)
-                elif cnt == 4:
-                    faces.append([idx[0], idx[1], idx[2]])
-                    faces.append([idx[0], idx[2], idx[3]])
+            # fast path: uniform all-triangle face block (13 bytes/face)
+            if n_faces > 0 and len(raw) >= 13 * n_faces:
+                fd = np.dtype([("n", "u1"), ("v", "<i4", (3,))])
+                block = np.frombuffer(raw[: 13 * n_faces], fd)
+                if (block["n"] == 3).all():
+                    faces = block["v"].copy()
+            if len(faces) == 0:
+                off = 0
+                for _ in range(n_faces):
+                    (cnt,) = struct.unpack_from("<B", raw, off)
+                    idx = struct.unpack_from(f"<{cnt}i", raw, off + 1)
+                    off += 1 + 4 * cnt
+                    if cnt == 3:
+                        faces.append(idx)
+                    elif cnt == 4:
+                        faces.append([idx[0], idx[1], idx[2]])
+                        faces.append([idx[0], idx[2], idx[3]])
         else:
             raise ValueError(f"unsupported PLY format {fmt}")
     xyz = verts[:, :3].astype(np.float32)

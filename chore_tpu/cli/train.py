@@ -53,12 +53,14 @@ def launch_train(cfg: ChoreConfig, exp_root="experiments", epochs=None,
     train_ds = make_ds(train_paths, "train")
     val_ds = make_ds(val_paths[:per_host_batch * 4], "val")
 
+    train_loader = DataLoader(train_ds, per_host_batch, shuffle=True,
+                              num_workers=cfg.num_workers,
+                              shard_index=shard_idx, shard_count=shard_cnt,
+                              worker_type=cfg.worker_type)
+
     def train_batches(epoch):
-        loader = DataLoader(train_ds, per_host_batch, shuffle=True,
-                            num_workers=cfg.num_workers,
-                            shard_index=shard_idx, shard_count=shard_cnt)
-        loader.set_epoch(epoch)
-        for batch in loader:
+        train_loader.set_epoch(epoch)
+        for batch in train_loader:
             batch.pop("path", None)
             yield batch
 

@@ -31,6 +31,7 @@ class ChoreConfig:
     net_img_size: Sequence[int] = (512, 512)
     batch_size: int = 15
     num_workers: int = 8
+    worker_type: str = "thread"  # or "process" (GIL-heavy __getitem__)
     split_file: str = "splits/behave-split.pkl"
     num_samples_train: int = 20000
     sigmas: Sequence[float] = (0.08, 0.02, 0.003)

@@ -1,19 +1,37 @@
 """Host-side batched prefetching loader.
 
 Replaces torch DataLoader + DistributedSampler (reference:
-data/base_data.py:49-69): a thread pool maps the dataset's __getitem__,
+data/base_data.py:49-69): a worker pool maps the dataset's __getitem__,
 batches are collated to numpy, and a small prefetch queue overlaps host IO
 with device compute. Multi-host sharding = each process iterates its own
 index slice (parallel.local_batch_slice); per-epoch shuffling is seeded by
 epoch like DistributedSampler.set_epoch.
+
+Workers: ``worker_type='thread'`` (default; zero setup cost, fine when
+__getitem__ is dominated by GIL-releasing C calls like cv2/zlib) or
+``'process'`` (spawned once per loader, matching the reference's 32
+DataLoader worker processes; use for GIL-heavy numpy sampling). Worker
+processes never import jax -- the dataset module chain is numpy/cv2 only.
 """
 from __future__ import annotations
 
+import multiprocessing as mp
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
+
+_WORKER_DATASET = None
+
+
+def _worker_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_get(i):
+    return _WORKER_DATASET[i]
 
 
 def collate(items):
@@ -33,7 +51,9 @@ def collate(items):
 class DataLoader:
     def __init__(self, dataset, batch_size, shuffle=True, num_workers=8,
                  drop_last=True, seed=0, prefetch=2,
-                 shard_index=0, shard_count=1):
+                 shard_index=0, shard_count=1, worker_type="thread"):
+        if worker_type not in ("thread", "process"):
+            raise ValueError(worker_type)
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -43,7 +63,26 @@ class DataLoader:
         self.prefetch = prefetch
         self.shard_index = shard_index
         self.shard_count = shard_count
+        self.worker_type = worker_type
         self.epoch = 0
+        self._pool = None  # lazily-spawned persistent process pool
+
+    def _process_pool(self):
+        if self._pool is None:
+            ctx = mp.get_context("spawn")  # no fork: parent may hold jax
+            self._pool = ctx.Pool(
+                self.num_workers, initializer=_worker_init,
+                initargs=(self.dataset,),
+            )
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool = None
+
+    def __del__(self):
+        self.close()
 
     def set_epoch(self, epoch):
         self.epoch = epoch
@@ -76,12 +115,20 @@ class DataLoader:
         stop = threading.Event()
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
+            if self.worker_type == "process" and self.num_workers > 0:
+                pool = self._process_pool()
                 for b in batches:
                     if stop.is_set():
                         return
-                    items = list(pool.map(self.dataset.__getitem__, b))
+                    items = pool.map(_worker_get, list(b))
                     q.put(collate(items))
+            else:
+                with ThreadPoolExecutor(max(self.num_workers, 1)) as pool:
+                    for b in batches:
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self.dataset.__getitem__, b))
+                        q.put(collate(items))
             q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)

@@ -74,6 +74,10 @@ class PerspectiveCamera:
         x = points[..., 0:1]
         y = points[..., 1:2]
         z = points[..., 2:3]
+        # guard the perspective division: optimization transients can push a
+        # point through z=0, which must yield huge-but-finite pixels (the
+        # in-image mask rejects them), never inf/nan gradients
+        z = jnp.where(jnp.abs(z) < 1e-6, jnp.where(z < 0, -1e-6, 1e-6), z)
         px = self.fx_px * x / z + self.cx_px
         py = self.fy_px * y / z + self.cy_px
         if crop_center is not None:

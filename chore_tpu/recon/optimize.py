@@ -59,7 +59,13 @@ def run_phase(loss_fn, params, spec: PhaseSpec, key=None):
     mask = spec.trainable
     if mask is None:
         mask = jax.tree_util.tree_map(lambda _: True, params)
-    tx = optax.masked(optax.adam(spec.lr), mask)
+    # apply_if_finite: a step with non-finite gradients is skipped entirely,
+    # so one bad transient (e.g. a degenerate pose under an untrained field)
+    # cannot poison the parameters -- the on-device analog of the
+    # reference's per-step anomaly detection (trainer.py:78)
+    tx = optax.apply_if_finite(
+        optax.masked(optax.adam(spec.lr), mask), max_consecutive_errors=10000
+    )
     opt_state = tx.init(params)
 
     def one_step(carry, _):

@@ -119,3 +119,35 @@ class TestExampleImagePrep:
         batch = collate([item, item])
         assert batch["images"].shape == (2, 512, 512, 5)
         assert batch["kpts"].shape == (2, 25, 3)
+
+
+class _RangeDataset:
+    """Module-level (picklable) dataset for process-worker tests."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"x": np.full((4,), i, np.float32), "idx": i}
+
+
+class TestProcessWorkers:
+    def test_process_pool_loads_all(self):
+        from chore_tpu.data.loader import DataLoader
+
+        ds = _RangeDataset(17)
+        loader = DataLoader(ds, batch_size=4, shuffle=False, num_workers=2,
+                            drop_last=False, worker_type="process")
+        seen = []
+        for batch in loader:
+            seen.extend(batch["idx"].tolist() if hasattr(batch["idx"], "tolist")
+                        else batch["idx"])
+            assert batch["x"].shape[1] == 4
+        assert sorted(seen) == list(range(17))
+        # pool persists across epochs, then closes cleanly
+        n2 = sum(len(b["idx"]) for b in loader)
+        assert n2 == 17
+        loader.close()

@@ -70,7 +70,13 @@ def run_demo(cfg: ChoreConfig, seq_folder, obj_name, outpath="demo_out",
             fitter.transform_obj(result["obj_params"],
                                  points=fitter.template_verts)
         )
+        # frame dirs in BEHAVE layouts all contain "k1.color.jpg"; key the
+        # output on the parent folder in that case to avoid collisions
         name = os.path.splitext(os.path.basename(rgb_file))[0]
+        parent = os.path.basename(os.path.dirname(rgb_file))
+        if parent and os.path.abspath(os.path.dirname(rgb_file)) != \
+                os.path.abspath(seq_folder):
+            name = parent
         frame_out = os.path.join(outpath, name)
         os.makedirs(frame_out, exist_ok=True)
         save_ply(os.path.join(frame_out, "smpl.ply"), smpl_verts[0],

@@ -34,7 +34,12 @@ def _pairwise_sqdist(x, y):
     return jnp.maximum(d, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
+def _use_pallas():
+    """Fused Pallas NN kernel on real accelerators; plain XLA on CPU (where
+    Mosaic is unavailable and the tiled path is fine)."""
+    return jax.default_backend() != "cpu"
+
+
 def nn_sqdist(x, y, y_mask=None, tile=2048):
     """Per-point nearest-neighbor squared distance + index.
 
@@ -46,7 +51,19 @@ def nn_sqdist(x, y, y_mask=None, tile=2048):
 
     Returns:
       (sqdist (N,), index (N,)) of the nearest reference point.
+
+    On TPU this runs the fused single-pass Pallas kernel (ops/pallas/nn.py)
+    instead of materializing the (N, M) matrix.
     """
+    if _use_pallas():
+        from chore_tpu.ops.pallas.nn import nn_pallas
+
+        return nn_pallas(x, y, y_mask=y_mask)
+    return _nn_sqdist_xla(x, y, y_mask=y_mask, tile=tile)
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def _nn_sqdist_xla(x, y, y_mask=None, tile=2048):
     n = x.shape[0]
     pad = (-n) % tile
     xp = jnp.pad(x, ((0, pad), (0, 0)))

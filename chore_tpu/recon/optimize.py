@@ -59,12 +59,22 @@ def run_phase(loss_fn, params, spec: PhaseSpec, key=None):
     mask = spec.trainable
     if mask is None:
         mask = jax.tree_util.tree_map(lambda _: True, params)
+    # multi_transform + set_to_zero freezes the untrained subset (NOT
+    # optax.masked, which passes masked-out updates through UNCHANGED --
+    # i.e. raw gradients would be added to the frozen params).
     # apply_if_finite: a step with non-finite gradients is skipped entirely,
     # so one bad transient (e.g. a degenerate pose under an untrained field)
     # cannot poison the parameters -- the on-device analog of the
     # reference's per-step anomaly detection (trainer.py:78)
+    labels = jax.tree_util.tree_map(
+        lambda t: "train" if t else "freeze", mask
+    )
     tx = optax.apply_if_finite(
-        optax.masked(optax.adam(spec.lr), mask), max_consecutive_errors=10000
+        optax.multi_transform(
+            {"train": optax.adam(spec.lr), "freeze": optax.set_to_zero()},
+            labels,
+        ),
+        max_consecutive_errors=10000,
     )
     opt_state = tx.init(params)
 

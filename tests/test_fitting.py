@@ -153,3 +153,20 @@ class TestObjectPhaseConvergence:
         # template center must land on the object center
         err = np.linalg.norm(np.asarray(out["obj_t"][0] * out["obj_s"][0] - c_o))
         assert err < 0.03, f"translation error {err}"
+
+
+class TestFreezing:
+    def test_frozen_params_bitwise_unchanged(self):
+        """Regression: optax.masked passes masked-out updates through
+        unchanged (raw gradients!); frozen subsets must stay identical."""
+        params = {"a": jnp.ones((3,)), "b": jnp.full((2,), 2.0)}
+
+        def loss_fn(p, decay, k):
+            # gradient w.r.t. BOTH leaves is nonzero
+            return jnp.sum(p["a"] ** 2) + 100.0 * jnp.sum(p["b"] ** 2), {}
+
+        spec = PhaseSpec(lr=0.1, n_iters=2, steps_per_iter=3,
+                         trainable=freeze_all_except(params, "a"))
+        out, _, _ = run_phase(loss_fn, params, spec)
+        assert not np.allclose(np.asarray(out["a"]), 1.0)  # trained
+        np.testing.assert_array_equal(np.asarray(out["b"]), 2.0)  # frozen

@@ -198,8 +198,14 @@ def collision_loss(smpl_verts, smpl_normals, obj_points):
     reference's no_grad BVH search, recon_fit_base.py:620-622); gradients
     flow through both the object points and the SMPL surface.
     """
-    d = jax.vmap(_pairwise_sqdist)(obj_points, smpl_verts)  # (B, No, Nh)
-    idx = jax.lax.stop_gradient(jnp.argmin(d, axis=-1))  # (B, No)
+    from chore_tpu.ops.chamfer import nn_sqdist
+
+    # per-example 1-NN (B is small and static; the fused kernel handles
+    # each example without materializing the (No, Nh) matrix)
+    idx = jnp.stack([
+        jax.lax.stop_gradient(nn_sqdist(obj_points[b], smpl_verts[b])[1])
+        for b in range(obj_points.shape[0])
+    ])  # (B, No)
     v_nn = jnp.take_along_axis(smpl_verts, idx[..., None], axis=1)
     n_nn = jnp.take_along_axis(smpl_normals, idx[..., None], axis=1)
     signed = jnp.sum((obj_points - v_nn) * n_nn, axis=-1)  # (B, No)

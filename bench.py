@@ -34,30 +34,38 @@ def main():
     crop_center = jnp.asarray(
         np.tile([[1018.0, 779.0]], (B, 1)).astype(np.float32)
     )
-    # init on CPU at a small image size (weight shapes are size-independent)
+    # init on CPU at a small image size (weight shapes are size-independent),
+    # then place on the accelerator ONCE (CPU-committed params would be
+    # re-transferred on every call)
     with jax.default_device(jax.devices("cpu")[0]):
         params = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 5)),
             points[:1, :8], crop_center[:1], train=False,
         )
+    params = jax.device_put(params, jax.devices()[0])
+
+    iters = 10
 
     @jax.jit
-    def forward(params, images, points, crop_center):
-        preds = model.apply(params, images, points, crop_center, train=False)
-        p = preds[-1]
-        # scalar checksum: forces full execution on platforms where
-        # block_until_ready does not synchronize (remote-tunnel backends)
-        chk = (p["df"].sum() + p["parts"].sum() + p["pca"].sum()
-               + p["centers"].sum())
-        return p["df"], p["parts"], p["pca"], p["centers"], chk
+    def forward_loop(params, images, points, crop_center):
+        # sustained throughput: `iters` full forwards chained on device with
+        # per-iteration input perturbation (prevents CSE), one scalar
+        # readback at the end -- keeps host/tunnel dispatch latency out of
+        # the per-point figure
+        def body(i, acc):
+            p = model.apply(
+                params, images, points + 1e-6 * i, crop_center, train=False
+            )[-1]
+            return acc + (p["df"].sum() + p["parts"].sum() + p["pca"].sum()
+                          + p["centers"].sum())
 
-    out = forward(params, images, points, crop_center)
-    float(out[-1])  # warm-up + sync via host readback
-    iters = 10
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    float(forward_loop(params, images, points, crop_center))  # compile+warm
     t0 = time.time()
-    for _ in range(iters):
-        out = forward(params, images, points, crop_center)
-        float(out[-1])
+    # scalar checksum readback forces execution on platforms where
+    # block_until_ready does not synchronize (remote-tunnel backends)
+    float(forward_loop(params, images, points, crop_center))
     dt = (time.time() - t0) / iters
 
     pts_per_sec = B * N / dt

@@ -32,6 +32,9 @@ def build_model(cfg: ChoreConfig):
             jnp.zeros((1, 2)),
             train=False,
         )
+    # one-time transfer to the accelerator: CPU-committed params would be
+    # re-shipped on EVERY jitted call (tens of MB per stage per frame)
+    params = jax.device_put(params, jax.devices()[0])
     return model, params
 
 
@@ -45,7 +48,7 @@ def load_trained(cfg: ChoreConfig, exp_root="experiments"):
         return model, params
     state, epoch, _ = load_checkpoint(path, {"params": params})
     print(f"loaded checkpoint {path} (epoch {epoch})")
-    return model, state["params"]
+    return model, jax.device_put(state["params"], jax.devices()[0])
 
 
 def load_smplh(gender="male"):

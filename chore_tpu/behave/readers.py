@@ -18,7 +18,6 @@ from __future__ import annotations
 import json
 import os
 import pickle
-from glob import glob
 from os.path import basename, isdir, isfile, join
 
 import cv2

@@ -13,7 +13,7 @@ from chore_tpu.models import CHOREField
 from chore_tpu.recon.templates import MESH_TEMPLATES, load_template
 from chore_tpu.smpl import SMPLH, load_model_arrays, synthetic_smplh
 from chore_tpu.train.checkpoints import find_checkpoint, load_checkpoint
-from chore_tpu.utils.meshio import load_ply
+
 
 
 def build_model(cfg: ChoreConfig):

@@ -28,7 +28,7 @@ from chore_tpu.data import TestImagePrep, collate
 from chore_tpu.recon import losses as L
 from chore_tpu.recon.fitter import FitConfig, ReconFitter
 from chore_tpu.recon.generator import SamplerConfig
-from chore_tpu.recon.templates import save_outputs
+
 from chore_tpu.utils.meshio import save_ply
 from chore_tpu.utils.render import align_to_input, look_at_side, render_meshes
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 from chore_tpu.models.chore import FieldConfig
 from chore_tpu.recon.fitter import FitConfig

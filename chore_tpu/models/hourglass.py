@@ -12,7 +12,6 @@ jax.lax.stop_gradient.
 """
 from __future__ import annotations
 
-from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -13,7 +13,7 @@ import numpy as np
 
 from chore_tpu.smpl import const
 from chore_tpu.smpl.assets import load_landmark_regressors
-from chore_tpu.smpl.lbs import SMPLModel, lbs, model_from_arrays
+from chore_tpu.smpl.lbs import lbs, model_from_arrays
 from chore_tpu.smpl.priors import mean_hand_pose
 
 

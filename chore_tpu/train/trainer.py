@@ -13,7 +13,6 @@ trainer/trainer.py + train_launch.py + utils/dist_utils.py):
 """
 from __future__ import annotations
 
-import functools
 import json
 import os
 import time

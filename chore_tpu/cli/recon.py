@@ -40,7 +40,7 @@ class _PrepDataset:
 
 def recon_fit(cfg: ChoreConfig, seq_folder, save_name, outpath="recon_out",
               coco=False, obj_name=None, start=0, end=None, batch_size=1,
-              redo=False, tid=1, use_silhouette=True):
+              redo=False, tid=1, use_silhouette=True, data_parallel=False):
     info_file = os.path.join(seq_folder, "info.json")
     if os.path.isfile(info_file):
         info = SeqInfo(seq_folder)
@@ -54,9 +54,19 @@ def recon_fit(cfg: ChoreConfig, seq_folder, save_name, outpath="recon_out",
     smplh = load_smplh(gender)
     tv, tf = load_object_template(obj_name)
     weights = L.COCO_WEIGHTS if coco else L.BEHAVE_WEIGHTS
+    mesh = None
+    if data_parallel:
+        import jax
+
+        from chore_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        batch_size = max(batch_size, len(jax.devices()))
+        print(f"data-parallel fitting over {len(jax.devices())} devices, "
+              f"batch {batch_size}")
     fitter = ReconFitter(model, params, smplh, tv, tf, weights=weights,
                          cfg=cfg.fit_config(),
-                         sampler_cfg=cfg.sampler_config())
+                         sampler_cfg=cfg.sampler_config(), mesh=mesh)
     prep = TestImagePrep(image_size=tuple(cfg.net_img_size),
                          crop_size=cfg.loadSize, use_mean_center=coco,
                          crop_info_dir=outpath)
@@ -110,6 +120,8 @@ def main():
     parser.add_argument("-redo", action="store_true")
     parser.add_argument("--coco", action="store_true",
                         help="in-the-wild weights + mean-center restaging")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard frame batches over all chips")
     args = parser.parse_args()
     try:
         cfg = load_config(args.exp_name)
@@ -118,7 +130,7 @@ def main():
     recon_fit(cfg, args.seq_folder, args.save_name, args.outpath,
               coco=args.coco, obj_name=args.obj_name, start=args.start,
               end=args.end, batch_size=args.batch_size, redo=args.redo,
-              tid=args.tid)
+              tid=args.tid, data_parallel=args.data_parallel)
 
 
 if __name__ == "__main__":

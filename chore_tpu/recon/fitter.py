@@ -74,8 +74,17 @@ class ReconFitter:
     def __init__(self, model, params, smplh: SMPLH, template_verts,
                  template_faces, weights=None, cfg: FitConfig = FitConfig(),
                  sampler_cfg: SamplerConfig = SamplerConfig(),
-                 assets_dir=None):
+                 assets_dir=None, mesh=None):
+        """mesh: optional jax.sharding.Mesh -- frames of a batch are then
+        sharded over its 'data' axis (params replicated); every stage jit
+        runs SPMD with XLA inserting the few cross-device reductions the
+        batch-mean losses need."""
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            from chore_tpu.parallel import replicate
+
+            params = replicate(params, mesh)
         self.params = params
         self.smplh = smplh
         self.cfg = cfg
@@ -307,6 +316,14 @@ class ReconFitter:
         key = key if key is not None else jax.random.PRNGKey(0)
         images = jnp.asarray(images)
         crop_center = jnp.asarray(np.asarray(crop_center, np.float32))
+        if self.mesh is not None:
+            from chore_tpu.parallel import replicate, shard_batch
+
+            sharded = shard_batch(
+                {"images": images, "crop_center": crop_center}, self.mesh
+            )
+            images, crop_center = sharded["images"], sharded["crop_center"]
+            key = replicate(key, self.mesh)
         k_gen, k_smpl, k_obj = jax.random.split(key, 3)
 
         with self.timer.phase("encode"):
@@ -321,13 +338,23 @@ class ReconFitter:
         human_t = np.asarray(pc["human"]["centers"][:, :3]).copy()
         human_t[:, 2] = self.cfg.z0  # fixed depth
         human_t = jnp.asarray(human_t)
+        mocap_poses = jnp.asarray(np.asarray(mocap_poses, np.float32))
+        mocap_betas = jnp.asarray(np.asarray(mocap_betas, np.float32))
+        kpts2d = jnp.asarray(np.asarray(kpts2d, np.float32))
+        if self.mesh is not None:
+            from chore_tpu.parallel import shard_batch
+
+            s = shard_batch(
+                {"ht": human_t, "mp": mocap_poses, "mb": mocap_betas,
+                 "kp": kpts2d}, self.mesh,
+            )
+            human_t, mocap_poses = s["ht"], s["mp"]
+            mocap_betas, kpts2d = s["mb"], s["kp"]
 
         with self.timer.phase("optimize_smpl"):
             smpl_params, scale = self._jit_fit_smpl(
                 self.params, feats, tmpx, crop_center,
-                jnp.asarray(np.asarray(mocap_poses, np.float32)),
-                jnp.asarray(np.asarray(mocap_betas, np.float32)),
-                human_t, jnp.asarray(np.asarray(kpts2d, np.float32)), k_smpl,
+                mocap_poses, mocap_betas, human_t, kpts2d, k_smpl,
             )
             jax.block_until_ready(smpl_params)
 
@@ -342,6 +369,10 @@ class ReconFitter:
                     crop_size=self.cfg.crop_size,
                     net_input=self.cfg.net_in_size,
                 ).data
+                if self.mesh is not None:
+                    from chore_tpu.parallel import shard_batch
+
+                    sil_data = shard_batch(sil_data, self.mesh)
         with self.timer.phase("optimize_object"):
             obj_params = self._jit_fit_object(
                 self.params, feats, tmpx, crop_center, smpl_params,

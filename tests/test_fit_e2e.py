@@ -94,3 +94,38 @@ class TestFitBatch:
         fitter.fit_batch(images + 0.01, cc, poses, betas, kpts,
                          use_silhouette=False)
         assert fitter._jit_fit_smpl._cache_size() == before
+
+
+class TestShardedFit:
+    def test_mesh_sharded_matches_single(self):
+        """B=8 frames sharded over the 8-device mesh must reproduce the
+        unsharded result (same math, XLA inserts the batch reductions)."""
+        import jax
+        from chore_tpu.parallel import make_mesh
+
+        model = CHOREField(cfg=TINY)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 5)),
+            jnp.zeros((1, 8, 3)), jnp.zeros((1, 2)),
+        )
+        smplh = SMPLH(synthetic_smplh())
+        tv, tf = octasphere(radius=0.15, subdiv=2)
+        fit_plain = ReconFitter(model, params, smplh, tv, tf, cfg=FIT,
+                                sampler_cfg=SAMP)
+        fit_shard = ReconFitter(model, params, smplh, tv, tf, cfg=FIT,
+                                sampler_cfg=SAMP, mesh=make_mesh())
+
+        images, cc, poses, betas, kpts = _batch(B=8)
+        key = jax.random.PRNGKey(3)
+        r1 = fit_plain.fit_batch(images, cc, poses, betas, kpts, key=key,
+                                 use_silhouette=False)
+        r2 = fit_shard.fit_batch(images, cc, poses, betas, kpts, key=key,
+                                 use_silhouette=False)
+        np.testing.assert_allclose(
+            np.asarray(r1["smpl_params"]["trans"]),
+            np.asarray(r2["smpl_params"]["trans"]), atol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r1["obj_params"]["obj_t"]),
+            np.asarray(r2["obj_params"]["obj_t"]), atol=1e-3,
+        )

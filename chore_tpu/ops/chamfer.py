@@ -56,9 +56,12 @@ def nn_sqdist(x, y, y_mask=None, tile=2048):
     instead of materializing the (N, M) matrix.
     """
     if _use_pallas():
-        from chore_tpu.ops.pallas.nn import nn_pallas
+        # exact-grad wrapper: the kernel (no autodiff rule) runs outside the
+        # differentiated subgraph; distance is re-expressed vs the argmin so
+        # gradients match the XLA path's min-distance subgradients
+        from chore_tpu.ops.pallas.nn import nn_sqdist_exact_grad
 
-        return nn_pallas(x, y, y_mask=y_mask)
+        return nn_sqdist_exact_grad(x, y, y_mask=y_mask)
     return _nn_sqdist_xla(x, y, y_mask=y_mask, tile=tile)
 
 

@@ -109,6 +109,7 @@ def run_demo(cfg: ChoreConfig, seq_folder, obj_name, outpath="demo_out",
         cv2.imwrite(os.path.join(frame_out, "side.jpg"),
                     (side[..., ::-1] * 255).astype(np.uint8))
         print(f"{rgb_file}: done in {time.time() - t0:.1f}s -> {frame_out}")
+    print("fit phase timing:", fitter.timer.summary())
 
 
 def main():

@@ -104,6 +104,7 @@ def recon_fit(cfg: ChoreConfig, seq_folder, save_name, outpath="recon_out",
             np.asarray(result["obj_params"]["obj_s"]),
         )
         print(f"batch done in {time.time() - t0:.1f}s")
+    print("fit phase timing:", fitter.timer.summary())
 
 
 def main():

@@ -119,6 +119,7 @@ def make_surface_sampler(query_fn, cfg: SamplerConfig = SamplerConfig()):
             out = {
                 "points": surf,
                 "mask": mask,
+                "df": dfv,
                 "parts": preds["parts"],
                 "pca": preds["pca"],
                 "centers": preds["centers"],
@@ -137,15 +138,19 @@ def make_surface_sampler(query_fn, cfg: SamplerConfig = SamplerConfig()):
 
         pts = flat(harvest["points"])
         mask = flat(harvest["mask"])
+        dfs = flat(harvest["df"])
         parts = flat(harvest["parts"])
         pca = flat(harvest["pca"])
         centers = flat(harvest["centers"])
 
-        # stable compaction: valid points first, round-then-index order
+        # stable compaction: valid points first in round-then-index order
+        # (reference "first samples_count" semantics); the remainder sorted
+        # by df so that an under-trained/hard frame with few survivors
+        # still yields the closest-to-surface points instead of noise
+        M = mask.shape[1]
+        df_rank = jnp.argsort(jnp.argsort(dfs, axis=1), axis=1)
         order_key = jnp.where(
-            mask,
-            jnp.arange(mask.shape[1])[None, :],
-            mask.shape[1] + jnp.arange(mask.shape[1])[None, :],
+            mask, jnp.arange(M)[None, :], M + df_rank
         )
         order = jnp.argsort(order_key, axis=1)[:, : cfg.num_points]  # (B, P)
 
@@ -159,6 +164,10 @@ def make_surface_sampler(query_fn, cfg: SamplerConfig = SamplerConfig()):
         sel_centers = take(centers)
 
         vw = sel_valid.astype(jnp.float32)[..., None]
+        # no survivors at all -> average over the selected (lowest-df)
+        # points rather than returning zeros
+        any_valid = sel_valid.any(axis=1)[:, None, None]
+        vw = jnp.where(any_valid, vw, 1.0)
         denom = jnp.maximum(vw.sum(axis=1), 1.0)
         mean_centers = (sel_centers * vw).sum(axis=1) / denom
         mean_pca = (sel_pca * vw[..., None]).sum(axis=1) / denom[..., None]

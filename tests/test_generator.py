@@ -78,3 +78,32 @@ class TestSurfaceSampler:
         c2 = np.asarray(CENTER) + [0.5, 0, 0]
         r = np.linalg.norm(pts - c2, axis=-1)
         assert np.abs(r - 0.2).mean() < CFG.filter_val
+
+
+class TestLowDfFallback:
+    def test_impossible_threshold_still_lands_near_surface(self):
+        """With a filter_val no point can pass, selection must fall back to
+        the lowest-df points (near the surface) and finite masked means."""
+        def biased_query_fn(points):
+            # like a trained-but-imperfect net: df has a +1cm floor, so
+            # no point can ever beat the release filter_val
+            preds = sphere_query_fn(points)
+            return dict(preds, df=preds["df"] + 0.01)
+
+        cfg = SamplerConfig(num_steps=8, sample_num=1024, num_rounds=3,
+                            num_points=256, init_num=2048, filter_val=0.004)
+        sampler = make_surface_sampler(biased_query_fn, cfg)
+        out = sampler(jax.random.PRNGKey(0), 0, 2)
+        assert int(out["n_valid"].sum()) == 0
+        d = np.abs(
+            np.linalg.norm(np.asarray(out["points"]) - np.asarray(CENTER),
+                           axis=-1) - RADIUS
+        )
+        # fallback points are the best available: still close to the sphere
+        assert d.mean() < 0.02
+        assert np.isfinite(np.asarray(out["centers"])).all()
+        # centers mean uses the fallback weights, not zeros
+        np.testing.assert_allclose(
+            np.asarray(out["centers"])[:, :3],
+            np.broadcast_to(np.asarray(CENTER), (2, 3)), rtol=0, atol=1e-3,
+        )

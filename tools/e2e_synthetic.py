@@ -26,7 +26,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_scenes(root, n_frames, rng):
+def build_scenes(root, n_frames, rng, obj_radius=0.18):
     """Synthetic frames: fixed body+object, tiny pose jitter; returns
     (npz paths, GT meshes of frame 0)."""
     import cv2
@@ -51,7 +51,7 @@ def build_scenes(root, n_frames, rng):
         sv = np.asarray(smplh.verts(sp))[0]
         pelvis = np.asarray(smplh.pelvis(sp))[0]
         sv = sv + (np.array([0, 0, 2.2]) - pelvis)
-        ov, of = octasphere(radius=0.18, center=(0.45, 0.1, 2.25), subdiv=2)
+        ov, of = octasphere(radius=obj_radius, center=(0.45, 0.1, 2.25), subdiv=2)
         out = sampler.boundary_sample_all(
             sv.astype(np.float32), smplh.faces, ov, of,
             sigmas=[0.08, 0.02, 0.003], ratios=[0.01, 0.49, 0.5],
@@ -84,6 +84,7 @@ def main():
     ap.add_argument("--out", default="/tmp/e2e_synth")
     ap.add_argument("--num-stack", type=int, default=2)
     ap.add_argument("--img-size", type=int, default=256)
+    ap.add_argument("--obj-radius", type=float, default=0.18)
     args = ap.parse_args()
 
     import jax
@@ -100,7 +101,7 @@ def main():
     from chore_tpu.utils.meshio import sample_surface
 
     rng = np.random.RandomState(0)
-    paths, gt0, smplh = build_scenes(args.out, args.frames, rng)
+    paths, gt0, smplh = build_scenes(args.out, args.frames, rng, args.obj_radius)
 
     cfg = FieldConfig(num_stack=args.num_stack, num_hourglass=2,
                       net_img_size=args.img_size)
@@ -174,10 +175,27 @@ def main():
         jnp.asarray(sample_surface(gt_obj, gt_obj_f, 5000)),
         jnp.asarray(sample_surface(rec_obj_a, tf, 5000)),
     ))
+    # dump reconstructions for inspection
+    from chore_tpu.utils.meshio import save_ply
+
+    dump = os.path.join(args.out, "recon")
+    os.makedirs(dump, exist_ok=True)
+    save_ply(os.path.join(dump, "rec_smpl.ply"), rec_smpl, gt_smpl_f)
+    save_ply(os.path.join(dump, "rec_obj.ply"), rec_obj, tf)
+    save_ply(os.path.join(dump, "gt_smpl.ply"), gt_smpl, gt_smpl_f)
+    save_ply(os.path.join(dump, "gt_obj.ply"), gt_obj, gt_obj_f)
+    pc = result["pclouds"]
+    save_ply(os.path.join(dump, "pc_human.ply"),
+             np.asarray(pc["human"]["points"][0]))
+    save_ply(os.path.join(dump, "pc_object.ply"),
+             np.asarray(pc["object"]["points"][0]))
+
     print(json.dumps({
         "final_train_loss": losses[-1],
         "chamfer_smpl_m": round(err_smpl, 4),
         "chamfer_obj_m": round(err_obj, 4),
+        "n_valid_human": int(np.asarray(pc["human"]["n_valid"])[0]),
+        "n_valid_object": int(np.asarray(pc["object"]["n_valid"])[0]),
         "epochs": args.epochs,
     }))
 

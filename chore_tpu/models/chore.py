@@ -193,11 +193,20 @@ def chore_losses(preds_list, batch, cfg: FieldConfig):
     mask_o = (batch["df_o"] < 0.05).astype(jnp.float32)  # (B, N)
     mask_h = (batch["df_h"] < 0.05).astype(jnp.float32)
 
+    def leaky_clip(x, c, leak=0.05):
+        """clip(x, max=c) with a small slope above c. A hard clip (the
+        reference, chore.py:239-241 with torch.clamp on the prediction)
+        has ZERO gradient above the threshold: a df channel that
+        overshoots 0.1 early in training saturates permanently (observed:
+        the object channel freezing at its init error). Identical to the
+        hard clip wherever predictions are below the threshold."""
+        return jnp.minimum(x, c) + leak * jax.nn.relu(x - c)
+
     for preds in preds_list:
         df = preds["df"]  # (B, N, 2)
         # clamped L1, summed over points, mean over batch (chore.py:239-242)
-        loss_h = jnp.abs(jnp.clip(df[..., 0], max=clamp) - df_h_gt).sum(-1).mean()
-        loss_o = jnp.abs(jnp.clip(df[..., 1], max=clamp) - df_o_gt).sum(-1).mean()
+        loss_h = jnp.abs(leaky_clip(df[..., 0], clamp) - df_h_gt).sum(-1).mean()
+        loss_o = jnp.abs(leaky_clip(df[..., 1], clamp) - df_o_gt).sum(-1).mean()
 
         logp = jax.nn.log_softmax(preds["parts"], axis=-1)
         ce = -jnp.take_along_axis(

@@ -76,12 +76,23 @@ def recon_fit(cfg: ChoreConfig, seq_folder, save_name, outpath="recon_out",
     print(f"{len(files)} test frames")
     loader = DataLoader(_PrepDataset(files, prep), batch_size,
                         shuffle=False, num_workers=4, drop_last=False)
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
     for batch in loader:
         paths = batch["path"]
         if not redo and is_done(outpath, paths, save_name, tid):
             print(f"{paths[0]} already done, skipped")
             continue
         t0 = time.time()
+        B = len(paths)
+        if B % n_dev != 0:
+            # sharding needs the batch divisible by the device count: pad
+            # the trailing partial batch by repeating the last frame and
+            # drop the extras after the fit
+            pad = n_dev - B % n_dev
+            for k, v in list(batch.items()):
+                if k == "path":
+                    continue
+                batch[k] = np.concatenate([v] + [v[-1:]] * pad, axis=0)
         result = fitter.fit_batch(
             batch["images"], batch["crop_center"], batch["mocap_pose"],
             batch["mocap_betas"], batch["kpts"],

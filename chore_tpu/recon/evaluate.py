@@ -138,6 +138,7 @@ class ReconEvaluator:
         print(f"{seq} done: {len(errors)} frames")
 
     def eval_seqs(self, seqs, save_name, tid=1):
+        self.errors_dict = {}  # fresh per run; repeated calls must not mix
         for seq in seqs:
             self.eval_seq(seq, save_name, tid)
         return self.collect_results(save_name, tid)

@@ -97,6 +97,7 @@ class ReconFitter:
         self.obj_points = jnp.asarray(
             sample_surface(tv, self.template_faces, cfg.obj_samples)
         )
+        self.assets_dir = assets_dir
         self.part_labels = jnp.asarray(load_part_labels(assets_dir))
         self.body_prior = make_body_prior(assets_dir)
         self.hand_prior = make_hand_prior(assets_dir)
@@ -109,7 +110,6 @@ class ReconFitter:
         self._jit_fit_object = jax.jit(
             self._fit_object_pure, static_argnames=("use_sil",)
         )
-        self._jit_verts = jax.jit(self.smplh.verts)
 
     # ------------------------------------------------------------------ #
     def _query(self, params, feats, tmpx, points, crop_center):
@@ -131,7 +131,8 @@ class ReconFitter:
         one jit. Returns (smpl_params, scale) where scale is the body-height
         ratio after/before, used to initialize the object scale."""
         cfg = self.cfg
-        smpl_params = init_params(mocap_pose, mocap_betas, human_t)
+        smpl_params = init_params(mocap_pose, mocap_betas, human_t,
+                                  assets_dir=self.assets_dir)
         pose_init = jax.lax.stop_gradient(pack_pose(smpl_params)[:, 3:72])
         height_init = self.smpl_height(smpl_params)
 
@@ -285,8 +286,8 @@ class ReconFitter:
 
         # 'joint' x <= iter_joint_max, lr .002, t+s only, early stop,
         # decay continues the global schedule: (global_it - iter_obj + 1)/5
-        # with global_it = iter_obj + iter_sil + local_it
-        off = cfg.iter_sil + 1.0
+        # with global_it = iter_obj [+ iter_sil] + local_it
+        off = (cfg.iter_sil if use_sil else 0.0) + 1.0
         spec = PhaseSpec(lr=0.002, n_iters=cfg.iter_joint_max,
                          steps_per_iter=cfg.steps_per_iter,
                          trainable=freeze_all_except(
@@ -311,7 +312,8 @@ class ReconFitter:
           kpts2d: (B, 25, 3) openpose keypoints in net-input pixels + conf.
 
         Returns dict with smpl params, object params, and the generated
-        point clouds.
+        point clouds. When constructed with a mesh, B must be divisible by
+        the device count (callers pad partial batches; see cli/recon.py).
         """
         key = key if key is not None else jax.random.PRNGKey(0)
         images = jnp.asarray(images)

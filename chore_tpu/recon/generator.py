@@ -71,11 +71,12 @@ def make_surface_sampler(query_fn, cfg: SamplerConfig = SamplerConfig()):
     def approx_surface(points, df_idx):
         def step(i, pts):
             def clamped_sum(p):
-                return jnp.clip(df_of(p, df_idx), max=cfg.threshold).sum()
+                df = jnp.clip(df_of(p, df_idx), max=cfg.threshold)
+                return df.sum(), df  # aux: per-point df from the same pass
 
-            d, grad = jax.value_and_grad(clamped_sum)(pts)
-            del d
-            dfv = jnp.clip(df_of(pts, df_idx), max=cfg.threshold)
+            (_, dfv), grad = jax.value_and_grad(
+                clamped_sum, has_aux=True
+            )(pts)
             gnorm = grad / (
                 jnp.linalg.norm(grad, axis=-1, keepdims=True) + 1e-12
             )

@@ -16,11 +16,18 @@ import numpy as np
 
 import jax.numpy as jnp
 
+from chore_tpu.ops.camera import (
+    DEFAULT_IMAGE_SIZE,
+    KINECT_CX,
+    KINECT_CY,
+    KINECT_FX,
+    KINECT_FY,
+)
 from chore_tpu.ops.rasterizer import project_unit_k, soft_silhouette
 
-KINECT_W = 2048.0
-FX, FY = 979.7844 / 2048.0, 979.840 / 2048.0
-CX, CY = 1018.952 / 2048.0, 779.486 / 2048.0
+KINECT_W = float(DEFAULT_IMAGE_SIZE)
+FX, FY = KINECT_FX, KINECT_FY
+CX, CY = KINECT_CX, KINECT_CY
 
 
 def mask_to_square_bbox(mask, expansion=0.3):
@@ -89,12 +96,25 @@ class SilhouetteLossROI:
 
     def __init__(self, person_masks, obj_masks, template_verts, template_faces,
                  crop_centers, rend_size=256, crop_size=1200, net_input=512,
-                 bbox_expansion=0.3):
+                 bbox_expansion=0.3, compute_edt=False):
         B = person_masks.shape[0]
         scale = crop_size / float(net_input)  # obj_pose_roi.py:51
         k_rois, keep_masks, image_refs, edts = [], [], [], []
         for i in range(B):
-            bbox = mask_to_square_bbox(np.asarray(obj_masks[i]), bbox_expansion)
+            try:
+                bbox = mask_to_square_bbox(np.asarray(obj_masks[i]),
+                                           bbox_expansion)
+            except ValueError:
+                # fully occluded/missing object mask: neutralize this
+                # frame's silhouette term (keep=0 -> zero loss) instead of
+                # killing the whole batch
+                S = obj_masks[i].shape[0]
+                image_refs.append(np.zeros((rend_size, rend_size), np.float32))
+                keep_masks.append(np.zeros((rend_size, rend_size), np.float32))
+                k_rois.append(compute_k_roi(
+                    np.array([0.0, 0.0, KINECT_W, KINECT_W])))
+                edts.append(np.zeros((rend_size, rend_size), np.float32))
+                continue
             obj_crop = crop_resize(np.asarray(obj_masks[i]), bbox, rend_size)
             ps_crop = crop_resize(np.asarray(person_masks[i]), bbox, rend_size)
             # keep mask: 1 everywhere except person-occluded (non-object)
@@ -108,7 +128,9 @@ class SilhouetteLossROI:
             bbox_orig = bbox * scale
             bbox_orig[:2] += np.asarray(crop_centers[i]) - crop_size / 2.0
             k_rois.append(compute_k_roi(bbox_orig))
-            edts.append(edge_distance_transform(fore.astype(np.float32)))
+            edts.append(edge_distance_transform(fore.astype(np.float32))
+                        if compute_edt
+                        else np.zeros((rend_size, rend_size), np.float32))
         # host-side numpy; consumers pass .data through their jitted fns
         self.data = {
             "image_ref": np.stack(image_refs),

@@ -62,13 +62,14 @@ def load_template(objects_path, obj_name, center=True):
 
 
 def output_paths(outpath, image_paths, save_name, tid):
-    """Per-frame output files (reference: recon_fit_base.py:240-256)."""
+    """Per-frame output files (reference: recon_fit_base.py:240-256).
+    Pure path computation -- directories are created by save_outputs, so
+    the is_done resume check stays side-effect free."""
     smpl_files, obj_files = [], []
     for p in image_paths:
         parts = str(p).split(os.sep)
         seq, frame = parts[-3], parts[-2]
         folder = join(outpath, seq, frame, save_name)
-        os.makedirs(folder, exist_ok=True)
         smpl_files.append(join(folder, f"k{tid}.smpl.ply"))
         obj_files.append(join(folder, f"k{tid}.object.ply"))
     return smpl_files, obj_files
@@ -82,6 +83,7 @@ def save_outputs(outpath, image_paths, save_name, tid, smpl_verts,
     smpl_files, obj_files = output_paths(outpath, image_paths, save_name, tid)
     B = len(smpl_files)
     for i in range(B):
+        os.makedirs(os.path.dirname(smpl_files[i]), exist_ok=True)
         save_ply(smpl_files[i], np.asarray(smpl_verts[i]), smpl_faces)
         with open(smpl_files[i].replace(".ply", ".pkl"), "wb") as f:
             pickle.dump({

@@ -129,3 +129,25 @@ class TestSilhouetteROI:
         g = jax.grad(loss)(jnp.asarray([[0.0, 0.0, 2.2]]))
         assert np.all(np.isfinite(np.asarray(g)))
         assert float(jnp.abs(g).sum()) > 0
+
+
+class TestEmptyMask:
+    def test_empty_object_mask_neutralized(self):
+        """A frame with an all-zero object mask must yield a zero silhouette
+        loss contribution instead of raising."""
+        import numpy as np
+        import jax.numpy as jnp
+        from chore_tpu.recon.silhouette import SilhouetteLossROI
+        from chore_tpu.utils.meshio import octasphere
+
+        tv, tf = octasphere(radius=0.15, subdiv=1)
+        masks = np.zeros((1, 64, 64), np.float32)
+        sil = SilhouetteLossROI(
+            person_masks=masks, obj_masks=masks,
+            template_verts=tv, template_faces=tf,
+            crop_centers=np.array([[1018.0, 779.0]], np.float32),
+            rend_size=32,
+        )
+        loss, img = sil(jnp.eye(3)[None],
+                        jnp.asarray([[0.0, 0.0, 2.2]]), jnp.ones(1))
+        assert float(loss) == 0.0

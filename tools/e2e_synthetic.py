@@ -114,8 +114,12 @@ def main():
     ds = BehaveTrainData(paths, phase="train", total_samplenum=4000,
                          image_size=(args.img_size, args.img_size))
     loader = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2)
+    # scale the LR milestones to the run length (the release [15, 25]
+    # assumes ~3000 steps/epoch; here an epoch is 2 steps)
     trainer = Trainer(model, params, os.path.join(args.out, "exp"),
-                      base_lr=1e-3, ck_period_min=1e9)
+                      base_lr=1e-3, ck_period_min=1e9,
+                      milestones=(int(args.epochs * 0.75),
+                                  int(args.epochs * 0.9)))
 
     losses = []
     for epoch in range(args.epochs):

@@ -35,9 +35,9 @@ def _pairwise_sqdist(x, y):
 
 
 def _use_pallas():
-    """Fused Pallas NN kernel on real accelerators; plain XLA on CPU (where
-    Mosaic is unavailable and the tiled path is fine)."""
-    return jax.default_backend() != "cpu"
+    """Fused Pallas NN kernel on TPU only (Mosaic lowering; the tiled XLA
+    path serves CPU/GPU)."""
+    return jax.default_backend() == "tpu"
 
 
 def nn_sqdist(x, y, y_mask=None, tile=2048):

@@ -137,4 +137,8 @@ def nn_sqdist_exact_grad(x, y, y_mask=None):
         jax.lax.stop_gradient(x), jax.lax.stop_gradient(y), y_mask
     )[1]
     d = jnp.sum((x - y[idx]) ** 2, axis=-1)
+    if y_mask is not None:
+        # all-masked reference set: match the XLA path's _BIG sentinel
+        # instead of a phantom distance to y[0]
+        d = jnp.where(jnp.any(y_mask), d, 1e10)
     return d, idx

@@ -51,7 +51,7 @@ def similarity_transform(src, ref):
 def align_points(src, ref):
     """Procrustes-align ``src`` onto ``ref``; returns the aligned points."""
     r, t, scale = similarity_transform(src, ref)
-    return scale * _mm(src, jnp.swapaxes(r, -1, -2)) + t
+    return apply_transform(src, r, t, scale)
 
 
 def apply_transform(points, r, t, scale):

@@ -79,13 +79,18 @@ def _signed_distance(pix, tri, eps=1e-12):
     )  # (F, 3)
     d = ev / (lens[None] + eps)
     # orientation-normalize: for CW triangles all edges flip sign
-    area = ev[..., 0] + ev[..., 1] + ev[..., 2]
-    sign = jnp.sign(
+    area2 = (
         tri[:, 1, 0] * tri[:, 2, 1] - tri[:, 2, 0] * tri[:, 1, 1]
         - tri[:, 0, 0] * (tri[:, 2, 1] - tri[:, 1, 1])
         + tri[:, 0, 1] * (tri[:, 2, 0] - tri[:, 1, 0])
     )
+    # degenerate (zero-area / exactly edge-on) faces: sign would be 0,
+    # making d=0 everywhere -> sigmoid(0)=0.5 coverage over the WHOLE
+    # image; force them far outside instead
+    sign = jnp.where(area2 > 0, 1.0, -1.0)
+    degenerate = jnp.abs(area2) < 1e-12
     d = d * sign[None, :, None]
+    d = jnp.where(degenerate[None, :, None], -1e6, d)
     return jnp.min(d, axis=-1)  # (P, F)
 
 

@@ -79,3 +79,14 @@ class TestChamferDispatch:
         d, i = nn_sqdist(jnp.asarray(x), jnp.asarray(y))
         d2 = ((x[:, None] - y[None]) ** 2).sum(-1)
         np.testing.assert_array_equal(np.asarray(i), d2.argmin(1))
+
+
+class TestAllMasked:
+    def test_all_masked_matches_sentinel(self, clouds):
+        x, y = clouds
+        import jax.numpy as jnp
+        d, i = nn_mod.nn_sqdist_exact_grad(
+            jnp.asarray(x[:16]), jnp.asarray(y),
+            y_mask=jnp.zeros(len(y), bool),
+        )
+        assert float(jnp.min(d)) >= 1e9  # sentinel, not phantom distances

@@ -125,3 +125,21 @@ class TestHardRasterize:
         covered = np.asarray(fi[0]) >= 0
         sums = np.asarray(w[0]).sum(-1)[covered]
         assert np.allclose(sums, 1.0, atol=1e-4)
+
+
+class TestDegenerateFaces:
+    def test_zero_area_face_does_not_flood_image(self):
+        """A zero-area (repeated-vertex) face must contribute nothing, not
+        sigmoid(0)=0.5 coverage over the whole image."""
+        import jax.numpy as jnp
+        from chore_tpu.ops.rasterizer import soft_silhouette
+
+        # one real triangle near the center + one degenerate (all-same) face
+        verts = jnp.asarray([
+            [-0.2, -0.2, 2.0], [0.2, -0.2, 2.0], [0.0, 0.2, 2.0],
+            [0.5, 0.5, 2.0],
+        ])[None]
+        faces = jnp.asarray([[0, 1, 2], [3, 3, 3]], jnp.int32)
+        sil = soft_silhouette(verts, faces, image_size=64)
+        cov = float(jnp.mean(sil > 0.4))
+        assert 0.0 < cov < 0.3, cov  # triangle only, not the full image

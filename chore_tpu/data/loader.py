@@ -86,6 +86,8 @@ class DataLoader:
 
     def set_epoch(self, epoch):
         self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def _indices(self):
         n = len(self.dataset)
@@ -93,8 +95,14 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(idx)
-        # per-process shard (DistributedSampler equivalent)
-        idx = idx[self.shard_index::self.shard_count]
+        # per-process shard; wrap-pad so every shard sees the SAME number
+        # of items (like DistributedSampler) -- unequal shard sizes would
+        # give hosts different batch counts and deadlock the collective
+        # in the final train step of an epoch
+        if self.shard_count > 1:
+            total = -(-n // self.shard_count) * self.shard_count
+            idx = np.resize(idx, total)
+            idx = idx[self.shard_index::self.shard_count]
         if self.drop_last:
             idx = idx[: len(idx) - len(idx) % self.batch_size]
         return idx

@@ -37,22 +37,36 @@ class BehaveTrainData:
         self.random_flip = random_flip
         self.aug_blur = aug_blur
         self.z0 = z0
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch):
+        """Vary per-item sampling across epochs (called by the loader)."""
+        self.epoch = int(epoch)
+
+    def _item_rng(self, idx):
+        """Per-item RandomState: deterministic in (seed, epoch, idx) and
+        safe under concurrent thread/process workers (a shared mutable
+        RandomState is not thread-safe)."""
+        return np.random.RandomState(
+            (self.seed * 1_000_003 + self.epoch * 7919 + idx) % (2**31 - 1)
+        )
 
     def __len__(self):
         return len(self.data_paths)
 
     def get_item(self, idx):
+        rng = self._item_rng(idx)
         path = self.data_paths[idx]
         flip = bool(self.phase == "train" and self.random_flip
-                    and self.rng.rand() > 0.5)
+                    and rng.rand() > 0.5)
         if flip:
             # mirrored GT with swapped left/right part labels
             # (train_data.py:49-54)
             path = path.replace(".npz", "_flip.npz")
         data = np.load(path, allow_pickle=True)
-        res = self.get_samples(data)
-        images, center = self.prepare_image_crop(data, flip)
+        res = self.get_samples(data, rng)
+        images, center = self.prepare_image_crop(data, flip, rng)
         res["images"] = images
         res["crop_center"] = center.astype(np.float32)
         res["path"] = path
@@ -64,18 +78,19 @@ class BehaveTrainData:
         try:
             return self.get_item(idx)
         except Exception as e:  # noqa: BLE001
-            ridx = int(self.rng.randint(0, len(self.data_paths)))
+            ridx = int(self._item_rng(idx).randint(0, len(self.data_paths)))
             print(f"failed on {self.data_paths[idx]} ({e}), "
                   f"retrying {self.data_paths[ridx]}")
             return self[ridx]
 
-    def get_samples(self, data):
+    def get_samples(self, data, rng=None):
         """Per-sigma subsampling (reference: train_data.py:69-113)."""
+        rng = rng if rng is not None else np.random
         points, dfs_h, dfs_o, parts = [], [], [], []
         for sigma, n in zip(self.sigmas, self.sample_nums):
             key = f"sigma{sigma}"
             pts = data["points"].item()[key]
-            choice = self.rng.choice(pts.shape[0], n, replace=False)
+            choice = rng.choice(pts.shape[0], n, replace=False)
             points.append(pts[choice])
             dfs_h.append(data["dist_h"].item()[key][choice])
             dfs_o.append(data["dist_o"].item()[key][choice])
@@ -99,7 +114,7 @@ class BehaveTrainData:
             "obj_center": obj_center,
         }
 
-    def prepare_image_crop(self, data, flip):
+    def prepare_image_crop(self, data, flip, rng=None):
         """Crop 1200^2 around the mask-union bbox center, resize to 512^2,
         compose RGBM3 (reference: train_data.py:115-149)."""
         rgb_file = str(data["image_file"])
@@ -107,10 +122,10 @@ class BehaveTrainData:
         bmin, bmax = iops.masks2bbox([person_mask, obj_mask])
         center = (bmin + bmax) // 2
         ih, iw = person_mask.shape[:2]
-        assert 0 < center[0] < iw and 0 < center[1] < iw, (
+        assert 0 < center[0] < iw and 0 < center[1] < ih, (
             f"invalid crop center {center} for {rgb_file}"
         )
-        rgb = iops.load_rgb(rgb_file, flip, self.aug_blur, self.rng)
+        rgb = iops.load_rgb(rgb_file, flip, self.aug_blur, rng)
         rgb = iops.resize(iops.crop(rgb, center, self.crop_size),
                           self.img_size) / 255.0
         pm = iops.resize(iops.crop(person_mask, center, self.crop_size),

@@ -55,16 +55,20 @@ def _latest_checkpoint(ckpt_dir):
     return files[int(np.argmax(times))]
 
 
-def find_checkpoint(exp_dir):
-    """val_min pointer first, else latest (reference: generator.py:230-241)."""
+def find_checkpoint(exp_dir, prefer="val_min"):
+    """prefer='val_min': best-val pointer first, else latest (the
+    reference's inference loading, generator.py:230-241). prefer='latest':
+    newest checkpoint (training resume -- following the val_min pointer
+    there would silently roll training back to the best-val epoch)."""
     ckpt_dir = os.path.join(exp_dir, "checkpoints")
-    pointer = glob.glob(os.path.join(exp_dir, "val_min=*"))
-    if pointer:
-        log = np.load(pointer[0], allow_pickle=True)
-        arr = log["data"] if hasattr(log, "files") else log
-        path = os.path.join(ckpt_dir, str(arr[2]))
-        if os.path.isfile(path):
-            return path
+    if prefer == "val_min":
+        pointer = glob.glob(os.path.join(exp_dir, "val_min=*"))
+        if pointer:
+            log = np.load(pointer[0], allow_pickle=True)
+            arr = log["data"] if hasattr(log, "files") else log
+            path = os.path.join(ckpt_dir, str(arr[2]))
+            if os.path.isfile(path):
+                return path
     return _latest_checkpoint(ckpt_dir)
 
 
@@ -84,15 +88,21 @@ def load_checkpoint(path, state_template):
 
 def update_val_min(exp_dir, epoch, val_loss, ck_file):
     """Maintain the best-val pointer (reference: trainer.py:294-322):
-    accept if val_loss <= stored + 1.0; store [epoch, val_loss, ck_file]."""
+    accept a NEWER checkpoint while val_loss <= best + 1.0 (prefer-recent
+    tolerance), but keep comparing against the true running minimum --
+    storing each accepted value verbatim (the reference behavior) lets the
+    pointer ratchet arbitrarily upward in +1.0 steps."""
+    best = val_loss
     pointer = glob.glob(os.path.join(exp_dir, "val_min=*"))
     if pointer:
         log = np.load(pointer[0], allow_pickle=True)
         arr = log["data"] if hasattr(log, "files") else log
-        if float(arr[1]) + 1.0 < val_loss:
+        stored = float(arr[1])
+        if stored + 1.0 < val_loss:
             return False
+        best = min(val_loss, stored)
         for p in pointer:
             os.remove(p)
     path = os.path.join(exp_dir, f"val_min={epoch}.npz")
-    np.savez(path, data=np.array([epoch, val_loss, ck_file], dtype=object))
+    np.savez(path, data=np.array([epoch, best, ck_file], dtype=object))
     return True

@@ -151,6 +151,9 @@ class Trainer:
         return loss, parts
 
     def compute_val_loss(self, val_batches):
+        """Runs on EVERY process: _eval_step is a global-mesh SPMD program,
+        so gating it on the main process would deadlock multi-host jobs.
+        Only the logging/pointer update downstream is main-only."""
         losses = []
         for batch in val_batches:
             batch = shard_batch(batch, self.mesh)
@@ -173,7 +176,7 @@ class Trainer:
     def load(self):
         """Resume from the best/latest checkpoint; like the reference, the LR
         is re-derived from the schedule, not restored (trainer.py:247-265)."""
-        path = ckpt.find_checkpoint(self.exp_dir)
+        path = ckpt.find_checkpoint(self.exp_dir, prefer="latest")
         if path is None:
             return False
         template = jax.device_get(
@@ -209,17 +212,28 @@ class Trainer:
                     self._trace.__exit__(None, None, None)
                     profiling = False
                     self.profile_dir = None
-                epoch_losses.append(float(loss))
+                # keep the device array: float() here would sync the host
+                # every step and serialize loading against compute
+                epoch_losses.append(loss)
                 if self.global_step % 50 == 0:
                     self.logger.log(self.global_step, loss=float(loss), lr=lr,
                                     **{k: float(v) for k, v in parts.items()})
-                if time.time() - last_ck > self.ck_period:
-                    self._validate_and_save(val_batches_fn)
-                    last_ck = time.time()
+                    # periodic val/checkpoint; the decision must agree on
+                    # every host (SPMD eval), so sync it off process 0
+                    due = time.time() - last_ck > self.ck_period
+                    if jax.process_count() > 1:
+                        from jax.experimental import multihost_utils
+
+                        due = bool(multihost_utils.broadcast_one_to_all(
+                            jnp.asarray(due)))
+                    if due:
+                        self._validate_and_save(val_batches_fn)
+                        last_ck = time.time()
             self.epoch += 1
-            self.logger.log(self.global_step,
-                            epoch=self.epoch,
-                            epoch_loss=float(np.mean(epoch_losses)) if epoch_losses else 0.0)
+            self.logger.log(
+                self.global_step, epoch=self.epoch,
+                epoch_loss=(float(np.mean([float(l) for l in epoch_losses]))
+                            if epoch_losses else 0.0))
         self._validate_and_save(val_batches_fn)
 
     def _validate_and_save(self, val_batches_fn):
@@ -227,7 +241,9 @@ class Trainer:
         self.training_time += now - self._seg_start
         self._seg_start = now
         name = self.save()
-        if val_batches_fn is not None and is_main_process() and name is not None:
+        if val_batches_fn is not None:
+            # all processes participate in the SPMD eval; rank-0 logs
             val_loss = self.compute_val_loss(val_batches_fn())
-            self.logger.log(self.global_step, val_loss=val_loss)
-            ckpt.update_val_min(self.exp_dir, self.epoch, val_loss, name)
+            if is_main_process() and name is not None:
+                self.logger.log(self.global_step, val_loss=val_loss)
+                ckpt.update_val_min(self.exp_dir, self.epoch, val_loss, name)

@@ -27,8 +27,8 @@ def main():
     parser.add_argument("--sample_num", type=int, default=100000)
     parser.add_argument("-sn", "--smpl_name", default="fit02")
     parser.add_argument("-on", "--obj_name", default="fit01")
-    parser.add_argument("-k", "--kids", nargs="+", type=int,
-                        default=[0, 1, 2, 3])
+    parser.add_argument("-k", "--kids", nargs="+", type=int, default=None,
+                        help="kinect ids; default: the sequence's own")
     parser.add_argument("-redo", action="store_true")
     parser.add_argument("-i", "--interval", type=int, default=1)
     parser.add_argument("-flip", action="store_true")
@@ -42,7 +42,8 @@ def main():
             else sorted(glob(paths["BEHAVE_PATH"] + "/*/")))
     for seq in seqs:
         files = process_scale_seq(
-            seq, outdir, kids=tuple(args.kids), start=args.start,
+            seq, outdir,
+            kids=tuple(args.kids) if args.kids else None, start=args.start,
             end=args.end, interval=args.interval,
             data_name=args.data_name, smpl_name=args.smpl_name,
             obj_name=args.obj_name, sigmas=tuple(args.sigmas),

@@ -44,19 +44,23 @@ def _load():
     with _lib_lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not os.path.isfile(_SO_PATH):
-            src = os.path.join(_NATIVE_DIR, "chorenat.cpp")
-            if not os.path.isfile(src):
+        src = os.path.join(_NATIVE_DIR, "chorenat.cpp")
+        if not os.path.isfile(src):
+            if not os.path.isfile(_SO_PATH):
                 _build_failed = True
                 return None
+        else:
+            # always invoke make: its mtime rule rebuilds a stale .so after
+            # source edits and is a no-op otherwise
             try:
                 subprocess.run(
                     ["make", "-C", _NATIVE_DIR], check=True,
                     capture_output=True, timeout=300,
                 )
             except (subprocess.SubprocessError, FileNotFoundError):
-                _build_failed = True
-                return None
+                if not os.path.isfile(_SO_PATH):
+                    _build_failed = True
+                    return None
         try:
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:

@@ -71,13 +71,18 @@ def process_scale_frame(reader: FrameDataReader, kin_transform, sampler,
     return outfile
 
 
-def process_scale_seq(seq_folder, outdir, kids=(0, 1, 2, 3), start=0,
+def process_scale_seq(seq_folder, outdir, kids=None, start=0,
                       end=None, interval=1, **kw):
-    """All frames of a sequence (the reference CLI main loop)."""
+    """All frames of a sequence (the reference CLI main loop).
+
+    kids=None uses the sequence's own kinect ids (sequences with fewer
+    than 4 kinects exist; a fixed default would index past the calib)."""
     reader = FrameDataReader(seq_folder)
     kin = KinectTransform(seq_folder)
     sampler = BoundarySampler()
     end = reader.cvt_end(end)
+    seq_kids = reader.seq_info.kids
+    kids = seq_kids if kids is None else [k for k in kids if k in seq_kids]
     out = []
     for idx in range(start, end, interval):
         for kid in kids:

@@ -96,10 +96,14 @@ def load_model_arrays(model_root, gender="male", hands=True, num_betas=10):
     """
     name = f"SMPLH_{gender}" if hands else f"SMPL_{gender}"
     cache = os.path.join(model_root, f"{name}.converted.npz")
-    if os.path.isfile(cache):
+    pkl_path = os.path.join(model_root, f"{name}.pkl")
+    cache_fresh = os.path.isfile(cache) and (
+        not os.path.isfile(pkl_path)
+        or os.path.getmtime(cache) >= os.path.getmtime(pkl_path)
+    )
+    if cache_fresh:
         data = dict(np.load(cache))
     else:
-        pkl_path = os.path.join(model_root, f"{name}.pkl")
         data = load_smpl_pickle(pkl_path)
         try:
             np.savez(cache, **data)
@@ -127,7 +131,10 @@ def synthetic_smplh(num_betas=10, seed=0, num_verts=NUM_VERTS,
         [r * np.cos(theta), t, r * np.sin(theta)], axis=1
     ).astype(np.float32)
 
-    parents = np.array(SMPLH_PARENTS[:num_joints], dtype=np.int32)
+    # 24-joint SMPL re-parents the two hand joints to the wrists; a plain
+    # 52-joint prefix would chain joint 23 off joint 22
+    chain = SMPL_PARENTS if num_joints == 24 else SMPLH_PARENTS[:num_joints]
+    parents = np.array(chain, dtype=np.int32)
     # joint rest locations: spread over the body with children near parents
     joints = np.zeros((num_joints, 3), dtype=np.float32)
     joints[:, 1] = np.linspace(-0.9, 0.5, num_joints)

@@ -165,9 +165,19 @@ def reconstruction(eval_fn, res, bmin, bmax, level=0.5, chunk=100000,
             coarse_res - 1,
         )
         vals = cvals[np.ix_(idx, idx, idx)].reshape(-1)
-        band = band if band is not None else 2.0 * float(
-            np.abs(np.diff(np.sort(cvals.reshape(-1)))).mean() + 1e-3
-        )
+        if band is None:
+            # the nearest-upsampled coarse value can be off by ~ the local
+            # gradient x the coarse cell diagonal; estimate the gradient
+            # scale from neighboring coarse cells and widen generously --
+            # a too-small band skips fine evaluation near the surface and
+            # extracts a blocky piecewise-constant mesh
+            cell = (bmax - bmin) / max(coarse_res - 1, 1)
+            grad = max(
+                float(np.abs(np.diff(cvals, axis=a)).max())
+                for a in range(3)
+            )
+            band = 2.0 * (grad + 1e-3) * float(np.linalg.norm(cell) /
+                                               np.min(cell))
         near = np.abs(vals - level) < band
         if near.any():
             vals[near] = batch_eval(pts[near], eval_fn, chunk)

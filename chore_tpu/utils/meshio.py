@@ -20,6 +20,7 @@ def load_ply(path):
         fmt = None
         n_verts = n_faces = 0
         vert_props = []
+        face_list_types = ("uchar", "int")  # (count, index) declared types
         cur = None
         while True:
             line = f.readline().strip()
@@ -34,6 +35,9 @@ def load_ply(path):
             elif line.startswith(b"property") and cur == "vertex":
                 parts = line.split()  # "property <type> <name>"
                 vert_props.append((parts[2].decode(), parts[1].decode()))
+            elif line.startswith(b"property list") and cur == "face":
+                parts = line.split()  # "property list <cnt> <idx> <name>"
+                face_list_types = (parts[2].decode(), parts[3].decode())
             elif line == b"end_header":
                 break
 
@@ -58,18 +62,24 @@ def load_ply(path):
             verts = np.stack([data[n] for n, _ in vert_props], axis=1)
             raw = f.read()
             faces = []
-            # fast path: uniform all-triangle face block (13 bytes/face)
-            if n_faces > 0 and len(raw) >= 13 * n_faces:
-                fd = np.dtype([("n", "u1"), ("v", "<i4", (3,))])
-                block = np.frombuffer(raw[: 13 * n_faces], fd)
+            cnt_dt = np.dtype("<" + type_map[face_list_types[0]])
+            idx_dt = np.dtype("<" + type_map[face_list_types[1]])
+            stride3 = cnt_dt.itemsize + 3 * idx_dt.itemsize
+            # fast path: uniform all-triangle face block
+            if n_faces > 0 and len(raw) >= stride3 * n_faces:
+                fd = np.dtype([("n", cnt_dt), ("v", idx_dt, (3,))])
+                block = np.frombuffer(raw[: stride3 * n_faces], fd)
                 if (block["n"] == 3).all():
-                    faces = block["v"].copy()
+                    faces = block["v"].astype(np.int64)
             if len(faces) == 0:
                 off = 0
                 for _ in range(n_faces):
-                    (cnt,) = struct.unpack_from("<B", raw, off)
-                    idx = struct.unpack_from(f"<{cnt}i", raw, off + 1)
-                    off += 1 + 4 * cnt
+                    cnt = int(np.frombuffer(raw, cnt_dt, 1, off)[0])
+                    off += cnt_dt.itemsize
+                    idx = np.frombuffer(raw, idx_dt, cnt, off).astype(
+                        np.int64
+                    )
+                    off += cnt * idx_dt.itemsize
                     if cnt == 3:
                         faces.append(idx)
                     elif cnt == 4:

@@ -40,6 +40,10 @@ static inline float sqnorm(Vec3 a) { return dot(a, a); }
 // Closest point on triangle (a,b,c) to p — Ericson, "Real-Time Collision
 // Detection" ch. 5.1.5 (same region test as chore_tpu/ops/point_mesh.py).
 static Vec3 closest_on_triangle(Vec3 p, Vec3 a, Vec3 b, Vec3 c) {
+  // denominators are guarded against zero like the device kernel
+  // (ops/point_mesh.py): degenerate faces must yield a finite (vertex)
+  // result, not NaN that silently drops them from the min
+  constexpr float kEps = 1e-30f;
   Vec3 ab = sub(b, a), ac = sub(c, a), ap = sub(p, a);
   float d1 = dot(ab, ap), d2 = dot(ac, ap);
   if (d1 <= 0.f && d2 <= 0.f) return a;
@@ -50,8 +54,9 @@ static Vec3 closest_on_triangle(Vec3 p, Vec3 a, Vec3 b, Vec3 c) {
 
   float vc = d1 * d4 - d3 * d2;
   if (vc <= 0.f && d1 >= 0.f && d3 <= 0.f) {
-    float v = d1 / (d1 - d3);
-    return add(a, scale(ab, v));
+    float den = d1 - d3;
+    float v = std::fabs(den) < kEps ? 0.f : d1 / den;
+    return add(a, scale(ab, std::min(std::max(v, 0.f), 1.f)));
   }
 
   Vec3 cp = sub(p, c);
@@ -60,17 +65,21 @@ static Vec3 closest_on_triangle(Vec3 p, Vec3 a, Vec3 b, Vec3 c) {
 
   float vb = d5 * d2 - d1 * d6;
   if (vb <= 0.f && d2 >= 0.f && d6 <= 0.f) {
-    float w = d2 / (d2 - d6);
-    return add(a, scale(ac, w));
+    float den = d2 - d6;
+    float w = std::fabs(den) < kEps ? 0.f : d2 / den;
+    return add(a, scale(ac, std::min(std::max(w, 0.f), 1.f)));
   }
 
   float va = d3 * d6 - d5 * d4;
   if (va <= 0.f && (d4 - d3) >= 0.f && (d5 - d6) >= 0.f) {
-    float w = (d4 - d3) / ((d4 - d3) + (d5 - d6));
-    return add(b, scale(sub(c, b), w));
+    float den = (d4 - d3) + (d5 - d6);
+    float w = std::fabs(den) < kEps ? 0.f : (d4 - d3) / den;
+    return add(b, scale(sub(c, b), std::min(std::max(w, 0.f), 1.f)));
   }
 
-  float denom = 1.f / (va + vb + vc);
+  float sum = va + vb + vc;
+  if (std::fabs(sum) < kEps) return a;  // fully degenerate face
+  float denom = 1.f / sum;
   float v = vb * denom, w = vc * denom;
   return add(a, add(scale(ab, v), scale(ac, w)));
 }
@@ -318,6 +327,7 @@ void chorenat_kdtree_query(const void* h, const float* q, int64_t nq,
 void chorenat_sample_surface(const float* verts, const int32_t* faces,
                              int64_t nf, int64_t n, uint64_t seed,
                              float* out) {
+  if (nf <= 0 || n <= 0) return;  // empty mesh: leave output zeroed
   std::vector<double> cdf(nf);
   double acc = 0.0;
   for (int64_t i = 0; i < nf; ++i) {

@@ -18,7 +18,6 @@ from glob import glob
 import numpy as np
 
 from chore_tpu.cli.common import (
-    build_model,
     load_object_template,
     load_smplh,
     load_trained,
@@ -77,7 +76,7 @@ def run_demo(cfg: ChoreConfig, seq_folder, obj_name, outpath="demo_out",
         if parent and os.path.abspath(os.path.dirname(rgb_file)) != \
                 os.path.abspath(seq_folder):
             name = parent
-        frame_out = os.path.join(outpath, name)
+        frame_out = os.path.join(outpath, name, save_name)
         os.makedirs(frame_out, exist_ok=True)
         save_ply(os.path.join(frame_out, "smpl.ply"), smpl_verts[0],
                  smplh.faces)

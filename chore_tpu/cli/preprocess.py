@@ -38,8 +38,17 @@ def main():
 
     paths = load_paths()
     outdir = args.outdir or paths.get("PROCESSED_PATH")
-    seqs = ([args.seq_folder] if not args.all
-            else sorted(glob(paths["BEHAVE_PATH"] + "/*/")))
+    if args.all:
+        behave = paths.get("BEHAVE_PATH")
+        if not behave:
+            raise SystemExit("--all requires BEHAVE_PATH in PATHS.yml")
+        seqs = sorted(glob(behave + "/*/"))
+    else:
+        if not args.seq_folder:
+            raise SystemExit("provide -s SEQ_FOLDER or --all")
+        seqs = [args.seq_folder]
+    if not outdir:
+        raise SystemExit("provide -o OUTDIR or PROCESSED_PATH in PATHS.yml")
     for seq in seqs:
         files = process_scale_seq(
             seq, outdir,

@@ -61,8 +61,9 @@ def recon_fit(cfg: ChoreConfig, seq_folder, save_name, outpath="recon_out",
         from chore_tpu.parallel import make_mesh
 
         mesh = make_mesh()
-        batch_size = max(batch_size, len(jax.devices()))
-        print(f"data-parallel fitting over {len(jax.devices())} devices, "
+        n = len(jax.devices())
+        batch_size = -(-max(batch_size, n) // n) * n  # multiple of devices
+        print(f"data-parallel fitting over {n} devices, "
               f"batch {batch_size}")
     fitter = ReconFitter(model, params, smplh, tv, tf, weights=weights,
                          cfg=cfg.fit_config(),
@@ -76,7 +77,6 @@ def recon_fit(cfg: ChoreConfig, seq_folder, save_name, outpath="recon_out",
     print(f"{len(files)} test frames")
     loader = DataLoader(_PrepDataset(files, prep), batch_size,
                         shuffle=False, num_workers=4, drop_last=False)
-    n_dev = 1 if mesh is None else int(mesh.devices.size)
     for batch in loader:
         paths = batch["path"]
         if not redo and is_done(outpath, paths, save_name, tid):
@@ -84,11 +84,13 @@ def recon_fit(cfg: ChoreConfig, seq_folder, save_name, outpath="recon_out",
             continue
         t0 = time.time()
         B = len(paths)
-        if B % n_dev != 0:
-            # sharding needs the batch divisible by the device count: pad
-            # the trailing partial batch by repeating the last frame and
-            # drop the extras after the fit
-            pad = n_dev - B % n_dev
+        if B < batch_size:
+            # pad the trailing partial batch to the FULL batch size by
+            # repeating the last frame: keeps one compiled shape for the
+            # whole run (and the device-count divisibility under
+            # --data-parallel); extras are dropped by save_outputs, which
+            # iterates over len(paths)
+            pad = batch_size - B
             for k, v in list(batch.items()):
                 if k == "path":
                     continue

@@ -65,8 +65,10 @@ def launch_train(cfg: ChoreConfig, exp_root="experiments", epochs=None,
             yield batch
 
     def val_batches():
+        # drop_last=False: a val set smaller than the batch would otherwise
+        # yield nothing and silently degrade best-checkpoint selection
         loader = DataLoader(val_ds, per_host_batch, shuffle=False,
-                            num_workers=cfg.num_workers)
+                            num_workers=cfg.num_workers, drop_last=False)
         for batch in loader:
             batch.pop("path", None)
             yield batch

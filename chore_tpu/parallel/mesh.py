@@ -17,14 +17,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+import os
+
+
 def init_distributed(coordinator=None, num_processes=None, process_id=None):
     """Multi-host init (replaces dist.init_process_group, dist_utils.py:28-33).
 
-    No-op single-host; on a pod slice the standard env (MEGASCALE/JAX coords)
-    is picked up automatically.
+    With explicit args, initializes directly. With none, auto-initializes
+    (argless ``jax.distributed.initialize`` detects the cluster env) when a
+    coordination environment is present; plain single-host runs stay a
+    no-op.
     """
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(coordinator, num_processes, process_id)
+        return
+    coord_env = ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                 "MEGASCALE_COORDINATOR_ADDRESS", "SLURM_JOB_NUM_NODES")
+    if any(os.environ.get(k) for k in coord_env):
+        try:
+            jax.distributed.initialize()
+        except (RuntimeError, ValueError) as e:  # already initialized etc.
+            print(f"init_distributed: auto-init skipped ({e})")
 
 
 def is_main_process():
@@ -53,10 +66,22 @@ def shard_batch(batch, mesh, axis="data"):
     """Place a host batch with its leading dim sharded across the mesh.
 
     Replaces DistributedSampler + pin_memory + .cuda(non_blocking) of the
-    reference (base_data.py:49-61, trainer.py:88-100): one device_put with a
-    NamedSharding moves and splits in a single step.
+    reference (base_data.py:49-61, trainer.py:88-100). Single-host: one
+    device_put with a NamedSharding moves and splits in a single step.
+    Multi-host: each process passes its LOCAL shard (from the loader's
+    shard_index/shard_count split) and the global array is assembled with
+    make_array_from_process_local_data -- device_put with a global
+    sharding would wrongly treat each host's local batch as the full
+    global batch.
     """
     s = data_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                s, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
 
 

@@ -111,9 +111,12 @@ def main():
                             jnp.zeros((1, 8, 3)), jnp.zeros((1, 2)))
     params = jax.device_put(params, jax.devices()[0])
 
+    if args.frames < 2:
+        raise SystemExit("--frames must be >= 2")
     ds = BehaveTrainData(paths, phase="train", total_samplenum=4000,
                          image_size=(args.img_size, args.img_size))
-    loader = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2)
+    loader = DataLoader(ds, batch_size=min(4, args.frames), shuffle=True,
+                        num_workers=2, drop_last=False)
     # scale the LR milestones to the run length (the release [15, 25]
     # assumes ~3000 steps/epoch; here an epoch is 2 steps)
     trainer = Trainer(model, params, os.path.join(args.out, "exp"),
@@ -134,8 +137,6 @@ def main():
 
     # reconstruct frame 0 with the trained weights
     params = jax.device_get(trainer.params)
-    from chore_tpu.data import TestImagePrep  # lazy (jax-dependent)
-
     tv, tf = gt0["obj"]
     fitter = ReconFitter(
         model, jax.device_put(params, jax.devices()[0]), smplh,

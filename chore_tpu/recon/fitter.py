@@ -47,9 +47,11 @@ class FitConfig:
     # phase iteration budgets (reference: recon_fit_behave.py:52,90,224-225)
     iter_betas: int = 1
     iter_pose: int = 1
+    iter_kpts: int = 1  # extends the kpts budget (iter_for_kpts, :52,240)
     iter_kpts_max: int = 150
     iter_obj: int = 20
     iter_sil: int = 50
+    iter_joint: int = 10  # extends the joint budget (joint_iter, :90,115)
     iter_joint_max: int = 100
     steps_per_iter: int = 10
     obj_samples: int = 3000  # template surface samples (recon_fit_base.py:121)
@@ -160,13 +162,14 @@ class ReconFitter:
             return L.weighted_sum(ld, self.weights, decay), ld
 
         k1, k2, k3 = jax.random.split(key, 3)
-        # phase 'global': top betas + trans at lr .02
+        # phase 'global': top betas + trans at lr .02. prev_loss starts at
+        # 300 and is threaded through ALL phases (recon_fit_behave.py:236).
         spec = PhaseSpec(lr=0.02, n_iters=cfg.iter_betas,
                          steps_per_iter=cfg.steps_per_iter,
                          trainable=freeze_all_except(
                              smpl_params, "top_betas", "trans"),
                          decay_fn=lambda it: 1.0)
-        smpl_params, _, _ = run_phase(
+        smpl_params, prev, _ = run_phase(
             lambda p, d, k: smpl_losses(p, False, d, k), smpl_params, spec, k1)
 
         # phase 'smpl all pose': everything at lr .006
@@ -176,20 +179,28 @@ class ReconFitter:
                              smpl_params, "trans", "global_pose", "body_pose",
                              "top_betas", "other_betas"),
                          decay_fn=lambda it: 1.0)
-        smpl_params, _, _ = run_phase(
-            lambda p, d, k: smpl_losses(p, False, d, k), smpl_params, spec, k2)
+        smpl_params, prev, _ = run_phase(
+            lambda p, d, k: smpl_losses(p, False, d, k), smpl_params, spec, k2,
+            prev_loss=prev)
 
-        # phase 'kpts': + 2D keypoints, early stop, decay it/3
+        # phase 'kpts': + 2D keypoints, early stop, decay it/3.
+        # Reference semantics with global counter g (kpts starts at
+        # g0 = iter_betas + iter_pose, runs to g < g0+iter_kpts+max_iter,
+        # stop gate g > 0.25*max_iter + g0, decay g/3;
+        # recon_fit_behave.py:240,271,278): in phase-local iterations the
+        # gate offsets cancel to it > 0.25*max_iter.
         offset = cfg.iter_betas + cfg.iter_pose
-        spec = PhaseSpec(lr=0.006, n_iters=cfg.iter_kpts_max,
+        spec = PhaseSpec(lr=0.006, n_iters=cfg.iter_kpts_max + cfg.iter_kpts,
                          steps_per_iter=cfg.steps_per_iter,
                          trainable=freeze_all_except(
                              smpl_params, "trans", "global_pose", "body_pose",
                              "top_betas", "other_betas"),
                          decay_fn=lambda it: (it + offset) / 3.0,
-                         early_stop_after=0.25, early_stop_rel=1e-3)
+                         early_stop_min_iter=0.25 * cfg.iter_kpts_max,
+                         early_stop_rel=1e-3)
         smpl_params, _, _ = run_phase(
-            lambda p, d, k: smpl_losses(p, True, d, k), smpl_params, spec, k3)
+            lambda p, d, k: smpl_losses(p, True, d, k), smpl_params, spec, k3,
+            prev_loss=prev)
 
         scale = self.smpl_height(smpl_params) / height_init
         return smpl_params, scale
@@ -268,11 +279,12 @@ class ReconFitter:
             return L.weighted_sum(ld, self.weights, decay), ld
 
         k1, k2, k3 = jax.random.split(key, 3)
-        # 'object only' x iter_obj, lr .006, decay 1
+        # 'object only' x iter_obj, lr .006, decay 1. prev_loss starts at
+        # 300 and threads through the chain (recon_fit_behave.py:108,162).
         spec = PhaseSpec(lr=0.006, n_iters=cfg.iter_obj,
                          steps_per_iter=cfg.steps_per_iter,
                          decay_fn=lambda it: 1.0)
-        obj_params, _, _ = run_phase(
+        obj_params, prev, _ = run_phase(
             lambda p, d, k: obj_losses(p, "obj", d, k), obj_params, spec, k1)
 
         # 'sil' x iter_sil, lr .006, decay it+1
@@ -280,22 +292,30 @@ class ReconFitter:
             spec = PhaseSpec(lr=0.006, n_iters=cfg.iter_sil,
                              steps_per_iter=cfg.steps_per_iter,
                              decay_fn=lambda it: it + 1.0)
-            obj_params, _, _ = run_phase(
+            obj_params, prev, _ = run_phase(
                 lambda p, d, k: obj_losses(p, "sil", d, k), obj_params, spec,
-                k2)
+                k2, prev_loss=prev)
 
-        # 'joint' x <= iter_joint_max, lr .002, t+s only, early stop,
+        # 'joint' x <= iter_joint_max + iter_joint, lr .002, t+s only,
         # decay continues the global schedule: (global_it - iter_obj + 1)/5
-        # with global_it = iter_obj [+ iter_sil] + local_it
+        # with global_it = iter_obj [+ iter_sil] + local_it. The reference
+        # stop gate ``it > 0.25*max_iter`` uses the GLOBAL counter
+        # (recon_fit_behave.py:158-159), and the joint phase starts at
+        # global iter_obj + iter_sil -- already past the gate with release
+        # budgets, so in local iterations the gate is (usually negative)
+        # 0.25*max_iter - phase start.
+        start = cfg.iter_obj + (cfg.iter_sil if use_sil else 0)
         off = (cfg.iter_sil if use_sil else 0.0) + 1.0
-        spec = PhaseSpec(lr=0.002, n_iters=cfg.iter_joint_max,
+        spec = PhaseSpec(lr=0.002, n_iters=cfg.iter_joint_max + cfg.iter_joint,
                          steps_per_iter=cfg.steps_per_iter,
                          trainable=freeze_all_except(
                              obj_params, "obj_t", "obj_s"),
                          decay_fn=lambda it: (it + off) / 5.0,
-                         early_stop_after=0.25, early_stop_rel=1e-4)
+                         early_stop_min_iter=0.25 * cfg.iter_joint_max - start,
+                         early_stop_rel=1e-4)
         obj_params, _, _ = run_phase(
-            lambda p, d, k: obj_losses(p, "joint", d, k), obj_params, spec, k3)
+            lambda p, d, k: obj_losses(p, "joint", d, k), obj_params, spec, k3,
+            prev_loss=prev)
         return obj_params
 
     # ------------------------------------------------------------------ #

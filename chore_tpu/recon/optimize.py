@@ -30,6 +30,12 @@ class PhaseSpec:
       decay_fn: iteration -> weight-decay argument ``it`` of w*cst/(1+it).
       early_stop_after: fraction of n_iters before early stop can trigger
         (reference: it > 0.25 * max_iter); None disables early stopping.
+      early_stop_min_iter: absolute local-iteration gate; overrides
+        ``early_stop_after`` when set. The reference gates on a GLOBAL
+        iteration counter (recon_fit_behave.py:278 ``it > 0.25*max_iter +
+        iter_for_betas + iter_for_pose``; :159 ``it > 0.25*max_iter`` with
+        ``it`` counting all prior phases), so callers translate that to
+        this phase-local threshold. May be negative (gate always open).
       early_stop_rel: plateau threshold factor (reference:
         abs(prev-loss)/prev < prev * early_stop_rel).
     """
@@ -40,10 +46,11 @@ class PhaseSpec:
     trainable: object = None
     decay_fn: Callable = lambda it: 1.0
     early_stop_after: Optional[float] = None
+    early_stop_min_iter: Optional[float] = None
     early_stop_rel: float = 1e-3
 
 
-def run_phase(loss_fn, params, spec: PhaseSpec, key=None):
+def run_phase(loss_fn, params, spec: PhaseSpec, key=None, prev_loss=300.0):
     """Run one phase.
 
     Args:
@@ -51,6 +58,11 @@ def run_phase(loss_fn, params, spec: PhaseSpec, key=None):
       params: parameter pytree.
       spec: PhaseSpec.
       key: PRNG key (threaded; split per step for e.g. SVD jitter).
+      prev_loss: plateau-reference loss entering the phase. The reference
+        initializes it to 300 ONCE per fitting call and carries it across
+        phases, updating after every inner step
+        (recon_fit_behave.py:236,280-281 and :108,162) -- thread the
+        returned final loss into the next phase to match.
 
     Returns:
       (params, final_loss, n_iters_run)
@@ -78,29 +90,50 @@ def run_phase(loss_fn, params, spec: PhaseSpec, key=None):
     )
     opt_state = tx.init(params)
 
+    stop_enabled = (spec.early_stop_after is not None
+                    or spec.early_stop_min_iter is not None)
+    if spec.early_stop_min_iter is not None:
+        stop_gate = float(spec.early_stop_min_iter)
+    elif spec.early_stop_after is not None:
+        stop_gate = spec.early_stop_after * spec.n_iters
+    else:
+        stop_gate = 0.0
+
     def one_step(carry, _):
-        params, opt_state, it, k = carry
+        """One grad step, with the reference's PER-STEP plateau test: loss
+        -> backward -> step -> test-and-maybe-stop -> prev_loss=loss
+        (recon_fit_behave.py:271-281). Once ``done``, the step is a frozen
+        no-op (the reference returns mid-iteration; lax.scan cannot break,
+        so remaining steps are skipped via cond)."""
+        params, opt_state, it, prev_loss, done, k = carry
         k, sub = jax.random.split(k)
-        decay = spec.decay_fn(it)
-        (loss, _aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, decay, sub
+
+        def live(args):
+            params, opt_state, prev_loss, done = args
+            decay = spec.decay_fn(it)
+            (loss, _aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, decay, sub
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            if stop_enabled:
+                rel = jnp.abs(prev_loss - loss) / jnp.maximum(prev_loss, 1e-9)
+                plateau = rel < prev_loss * spec.early_stop_rel
+                done = plateau & (it > stop_gate)
+            return params, opt_state, loss, done
+
+        params, opt_state, prev_loss, done = jax.lax.cond(
+            done, lambda a: a, live, (params, opt_state, prev_loss, done)
         )
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state, it, k), loss
+        return (params, opt_state, it, prev_loss, done, k), None
 
     def iteration(carry):
         params, opt_state, it, prev_loss, k, done, n_run = carry
-        (params, opt_state, _, k), losses = jax.lax.scan(
-            one_step, (params, opt_state, it, k), None,
+        (params, opt_state, _, prev_loss, done, k), _ = jax.lax.scan(
+            one_step, (params, opt_state, it, prev_loss, done, k), None,
             length=spec.steps_per_iter,
         )
-        loss = losses[-1]
-        if spec.early_stop_after is not None:
-            rel = jnp.abs(prev_loss - loss) / jnp.maximum(prev_loss, 1e-9)
-            plateau = rel < prev_loss * spec.early_stop_rel
-            done = plateau & (it > spec.early_stop_after * spec.n_iters)
-        return (params, opt_state, it + 1, loss, k, done, n_run + 1)
+        return (params, opt_state, it + 1, prev_loss, k, done, n_run + 1)
 
     def cond(carry):
         _, _, it, _, _, done, _ = carry
@@ -108,7 +141,7 @@ def run_phase(loss_fn, params, spec: PhaseSpec, key=None):
 
     init = (
         params, opt_state, jnp.asarray(0),
-        jnp.asarray(300.0),  # prev_loss init (reference: prev_loss = 300.)
+        jnp.asarray(prev_loss, jnp.float32),
         key, jnp.asarray(False), jnp.asarray(0),
     )
     params, _, _, loss, _, _, n_run = jax.lax.while_loop(

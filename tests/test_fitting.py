@@ -107,6 +107,80 @@ class TestPhaseRunner:
         _, _, n = run_phase(loss_fn, params, spec)
         assert int(n) < 100
 
+    def test_kpts_stop_iteration_matches_reference_formula(self):
+        """The kpts phase must stop at exactly the iteration the reference
+        formula gives (recon_fit_behave.py:278: plateau AND global it >
+        0.25*max_iter + iter_for_betas + iter_for_pose, prev_loss updated
+        per inner step). Simulate the reference loop in Python on the same
+        constant loss and compare."""
+        iter_betas, iter_pose, iter_kpts, max_iter = 1, 1, 1, 150
+        const = 100.0
+
+        # --- reference simulation (global counter, per-step test) ---
+        prev_loss, stop_global = 300.0, None
+        for it in range(iter_betas + iter_kpts + iter_pose + max_iter):
+            for _ in range(10):
+                loss = const
+                if (abs(prev_loss - loss) / prev_loss < prev_loss * 1e-3
+                        and it > 0.25 * max_iter + iter_betas + iter_pose):
+                    stop_global = it
+                    break
+                prev_loss = loss
+            if stop_global is not None:
+                break
+        expected_local_iters = stop_global - (iter_betas + iter_pose) + 1
+
+        # --- ours: betas/pose phases thread prev_loss into kpts ---
+        def loss_fn(p, decay, key):
+            return jnp.sum(p["x"] * 0.0) + const, {}
+
+        params = {"x": jnp.ones(2)}
+        warm = PhaseSpec(lr=0.006, n_iters=iter_betas + iter_pose,
+                         steps_per_iter=10)
+        params, prev, _ = run_phase(loss_fn, params, warm)
+        spec = PhaseSpec(lr=0.006, n_iters=max_iter + iter_kpts,
+                         steps_per_iter=10,
+                         early_stop_min_iter=0.25 * max_iter,
+                         early_stop_rel=1e-3)
+        _, _, n = run_phase(loss_fn, params, spec, prev_loss=prev)
+        assert int(n) == expected_local_iters, (int(n), expected_local_iters)
+
+    def test_negative_gate_allows_immediate_stop(self):
+        """Joint phase: the reference gate it > 0.25*max_iter uses the
+        GLOBAL counter (recon_fit_behave.py:159) and is already satisfied
+        when the joint phase begins, so with a negative local gate a
+        plateau on iteration 0 must stop immediately."""
+        const = 50.0
+
+        def loss_fn(p, decay, key):
+            return jnp.sum(p["x"] * 0.0) + const, {}
+
+        spec = PhaseSpec(lr=0.002, n_iters=110, steps_per_iter=10,
+                         early_stop_min_iter=-45.0, early_stop_rel=1e-4)
+        # prev_loss == const: plateau at the very first step
+        _, _, n = run_phase(loss_fn, {"x": jnp.ones(2)}, spec,
+                            prev_loss=const)
+        assert int(n) == 1
+
+    def test_params_frozen_after_stop(self):
+        """Once the per-step stop fires mid-iteration, the remaining steps
+        of that iteration must not touch the parameters (the reference
+        returns immediately)."""
+        const = 50.0
+
+        def loss_fn(p, decay, key):
+            # constant VALUE (plateau at step 0) but nonzero gradient
+            return jnp.sum(p["x"] - jax.lax.stop_gradient(p["x"])) + const, {}
+
+        spec = PhaseSpec(lr=0.1, n_iters=10, steps_per_iter=10,
+                         early_stop_min_iter=-1.0, early_stop_rel=1e-4)
+        out, _, n = run_phase(loss_fn, {"x": jnp.ones(2)}, spec,
+                              prev_loss=const)
+        # step 0: plateau fires (prev==const) AFTER the update -> exactly
+        # one Adam step applied (|update| == lr at t=1), then frozen
+        assert int(n) == 1
+        np.testing.assert_allclose(np.asarray(out["x"]), 1.0 - 0.1, rtol=1e-5)
+
 
 class TestObjectPhaseConvergence:
     def test_object_pose_recovers_translation(self):

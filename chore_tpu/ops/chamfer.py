@@ -40,17 +40,21 @@ def _use_pallas():
     return jax.default_backend() == "tpu"
 
 
-def nn_sqdist(x, y, y_mask=None, tile=2048):
-    """Per-point nearest-neighbor squared distance + index.
+def nn_sqdist(x, y, y_mask=None, x_group=None, y_group=None, tile=2048):
+    """Per-point (optionally grouped) nearest-neighbor sq distance + index.
 
     Args:
       x: (N, 3) query points.
       y: (M, 3) reference points.
       y_mask: optional (M,) bool; masked-out reference points are ignored.
+      x_group / y_group: optional int group ids; a query only matches
+        reference points of its own group (one kernel pass batches many
+        independent NN problems: per-example, per-part, ...).
       tile: query tile size (memory bound: tile * M floats).
 
     Returns:
-      (sqdist (N,), index (N,)) of the nearest reference point.
+      (sqdist (N,), index (N,)) of the nearest valid same-group reference
+      point; the 1e10 sentinel (index meaningless) when none exists.
 
     On TPU this runs the fused single-pass Pallas kernel (ops/pallas/nn.py)
     instead of materializing the (N, M) matrix.
@@ -61,24 +65,34 @@ def nn_sqdist(x, y, y_mask=None, tile=2048):
         # gradients match the XLA path's min-distance subgradients
         from chore_tpu.ops.pallas.nn import nn_sqdist_exact_grad
 
-        return nn_sqdist_exact_grad(x, y, y_mask=y_mask)
-    return _nn_sqdist_xla(x, y, y_mask=y_mask, tile=tile)
+        return nn_sqdist_exact_grad(x, y, y_mask=y_mask,
+                                    x_group=x_group, y_group=y_group)
+    return _nn_sqdist_xla(x, y, y_mask=y_mask, x_group=x_group,
+                          y_group=y_group, tile=tile)
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
-def _nn_sqdist_xla(x, y, y_mask=None, tile=2048):
-    n = x.shape[0]
+def _nn_sqdist_xla(x, y, y_mask=None, x_group=None, y_group=None, tile=2048):
+    n, m = x.shape[0], y.shape[0]
     pad = (-n) % tile
     xp = jnp.pad(x, ((0, pad), (0, 0)))
     xt = xp.reshape(-1, tile, 3)
+    # fold mask + groups into one reference-group row (-1 = invalid)
+    rg = (jnp.zeros(m, jnp.float32) if y_group is None
+          else jnp.asarray(y_group, jnp.float32))
+    if y_mask is not None:
+        rg = jnp.where(jnp.asarray(y_mask, bool), rg, -1.0)
+    qg = (jnp.zeros(n, jnp.float32) if x_group is None
+          else jnp.asarray(x_group, jnp.float32))
+    qg = jnp.pad(qg, (0, pad)).reshape(-1, tile)
 
-    def one_tile(xb):
+    def one_tile(args):
+        xb, qgb = args
         d = _pairwise_sqdist(xb, y)
-        if y_mask is not None:
-            d = jnp.where(y_mask[None, :], d, _BIG)
+        d = jnp.where(qgb[:, None] == rg[None, :], d, _BIG)
         return jnp.min(d, axis=1), jnp.argmin(d, axis=1)
 
-    dmin, idx = jax.lax.map(one_tile, xt)
+    dmin, idx = jax.lax.map(one_tile, (xt, qg))
     return dmin.reshape(-1)[:n], idx.reshape(-1)[:n]
 
 

@@ -5,9 +5,10 @@ recon/recon_fit_base.py:513-676, recon/recon_fit_behave.py:165-222,293-358)
 with the two CUDA-backed losses rebuilt TPU-native:
 
   * contact: the ragged per-part pytorch3d Pointclouds chamfer
-    (recon_fit_base.py:553-608) becomes a dense masked formulation -- one
-    (N_h, N_o) distance matrix per example, masked per part, mean over valid
-    part pairs (identical semantics to pytorch3d's cloud-mean reduction).
+    (recon_fit_base.py:553-608) becomes two grouped fused-NN kernel calls
+    (group id = example * 14 + part), mean over valid part pairs (identical
+    semantics to pytorch3d's cloud-mean reduction) -- no (N_h, N_o) matrix
+    ever materializes.
   * collision: the BVH + DistanceFieldPenetrationLoss CUDA pair
     (recon_fit_base.py:79-86,610-639) becomes a BVH-free signed-distance
     penalty: object points behind the nearest SMPL vertex's outward normal
@@ -23,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from chore_tpu.ops.camera import PerspectiveCamera, Z0
-from chore_tpu.ops.chamfer import _pairwise_sqdist
+from chore_tpu.ops.chamfer import nn_sqdist
 from chore_tpu.smpl.const import SMPL_PARTS_NUM
 
 # w^2 constants (reference: recon_fit_behave.py:339-358)
@@ -135,8 +136,15 @@ def contact_loss(smpl_verts, obj_points, df_hum_o, df_obj_h,
     reference pulls the whole cloud). Each part with contacts on both sides
     forms a cloud pair; the loss is the mean over pairs of the
     bidirectional mean squared chamfer (pytorch3d convention).
+
+    All B * 14 part-pair NN problems run as TWO grouped fused-kernel calls
+    (group id = example * 14 + part) -- nothing materializes the (Nh, No)
+    distance matrix the torch version builds per part pair.
     """
-    B = smpl_verts.shape[0]
+    _BIG = 1e10
+    B, Nh = df_hum_o.shape
+    No = df_obj_h.shape[1]
+    P = SMPL_PARTS_NUM
     mask_h = df_hum_o < thresh  # (B, Nh)
     mask_o = df_obj_h < thresh  # (B, No)
     any_h = mask_h.any(axis=1, keepdims=True)
@@ -146,30 +154,40 @@ def contact_loss(smpl_verts, obj_points, df_hum_o, df_obj_h,
     # an example with no contacts on either side contributes nothing
     example_on = (any_h | any_o)[:, 0]  # (B,)
 
-    def per_example(hv, ov, mh, mo, po, on):
-        d = _pairwise_sqdist(hv, ov)  # (Nh, No)
-        _BIG = 1e10
-
-        def per_part(k):
-            hm = mh & (part_labels_h == k)
-            om = mo & (po == k)
-            nx = jnp.sum(hm)
-            ny = jnp.sum(om)
-            valid = (nx > 0) & (ny > 0) & on
-            d_xy = jnp.where(om[None, :], d, _BIG)
-            d_yx = jnp.where(hm[:, None], d, _BIG)
-            lx = jnp.sum(jnp.where(hm, jnp.min(d_xy, 1), 0.0)) / jnp.maximum(nx, 1)
-            ly = jnp.sum(jnp.where(om, jnp.min(d_yx, 0), 0.0)) / jnp.maximum(ny, 1)
-            return jnp.where(valid, lx + ly, 0.0), valid
-
-        losses, valids = jax.vmap(per_part)(jnp.arange(SMPL_PARTS_NUM))
-        return jnp.sum(losses), jnp.sum(valids)
-
-    losses, counts = jax.vmap(per_example)(
-        smpl_verts, obj_points, eff_h, eff_o, part_labels_o, example_on
+    ex = jnp.arange(B, dtype=jnp.int32)[:, None] * P
+    gh = ex + jnp.broadcast_to(part_labels_h[None], (B, Nh))  # (B, Nh)
+    go = ex + part_labels_o  # (B, No)
+    d_h, _ = nn_sqdist(
+        smpl_verts.reshape(-1, 3), obj_points.reshape(-1, 3),
+        y_mask=eff_o.reshape(-1), x_group=gh.reshape(-1),
+        y_group=go.reshape(-1),
     )
-    total_pairs = jnp.sum(counts)
-    return jnp.where(total_pairs > 0, jnp.sum(losses) / jnp.maximum(total_pairs, 1), 0.0)
+    d_o, _ = nn_sqdist(
+        obj_points.reshape(-1, 3), smpl_verts.reshape(-1, 3),
+        y_mask=eff_h.reshape(-1), x_group=go.reshape(-1),
+        y_group=gh.reshape(-1),
+    )
+    d_h = d_h.reshape(B, Nh)
+    d_o = d_o.reshape(B, No)
+
+    part_ids = jnp.arange(P)
+    hm = eff_h[..., None] & (part_labels_h[None, :, None] == part_ids)
+    om = eff_o[..., None] & (part_labels_o[..., None] == part_ids)
+    nx = hm.sum(1)  # (B, P)
+    ny = om.sum(1)
+    valid = (nx > 0) & (ny > 0) & example_on[:, None]
+    # zero the sentinel of unmatched queries (their (b, part) pair is
+    # invalid anyway -- valid pairs have partners on both sides)
+    dh_ok = jnp.where(d_h < 0.5 * _BIG, d_h, 0.0)
+    do_ok = jnp.where(d_o < 0.5 * _BIG, d_o, 0.0)
+    lx = jnp.einsum("bn,bnp->bp", dh_ok, hm.astype(d_h.dtype))
+    ly = jnp.einsum("bn,bnp->bp", do_ok, om.astype(d_o.dtype))
+    pair = lx / jnp.maximum(nx, 1) + ly / jnp.maximum(ny, 1)
+    pair = jnp.where(valid, pair, 0.0)
+    n_pairs = jnp.sum(valid)
+    return jnp.where(
+        n_pairs > 0, jnp.sum(pair) / jnp.maximum(n_pairs, 1), 0.0
+    )
 
 
 def vertex_normals(verts, faces):
@@ -198,14 +216,16 @@ def collision_loss(smpl_verts, smpl_normals, obj_points):
     reference's no_grad BVH search, recon_fit_base.py:620-622); gradients
     flow through both the object points and the SMPL surface.
     """
-    from chore_tpu.ops.chamfer import nn_sqdist
-
-    # per-example 1-NN (B is small and static; the fused kernel handles
-    # each example without materializing the (No, Nh) matrix)
-    idx = jnp.stack([
-        jax.lax.stop_gradient(nn_sqdist(obj_points[b], smpl_verts[b])[1])
-        for b in range(obj_points.shape[0])
-    ])  # (B, No)
+    B, No = obj_points.shape[:2]
+    Nh = smpl_verts.shape[1]
+    # whole batch in ONE grouped kernel call (group = example index);
+    # flat indices land inside the example's own row block by construction
+    flat_idx = jax.lax.stop_gradient(nn_sqdist(
+        obj_points.reshape(-1, 3), smpl_verts.reshape(-1, 3),
+        x_group=jnp.repeat(jnp.arange(B, dtype=jnp.int32), No),
+        y_group=jnp.repeat(jnp.arange(B, dtype=jnp.int32), Nh),
+    )[1])
+    idx = flat_idx.reshape(B, No) - jnp.arange(B, dtype=jnp.int32)[:, None] * Nh
     v_nn = jnp.take_along_axis(smpl_verts, idx[..., None], axis=1)
     n_nn = jnp.take_along_axis(smpl_normals, idx[..., None], axis=1)
     signed = jnp.sum((obj_points - v_nn) * n_nn, axis=-1)  # (B, No)

@@ -71,6 +71,57 @@ class TestLossTerms:
                               jnp.zeros((B, No), jnp.int32))
         assert float(loss) == 0.0
 
+    def test_contact_matches_dense_oracle(self):
+        """Grouped-kernel contact vs a literal dense per-part chamfer
+        (the reference semantics, recon_fit_base.py:553-608)."""
+        B, Nh, No = 3, 50, 30
+        rng = np.random.RandomState(2)
+        hv = rng.randn(B, Nh, 3).astype(np.float32)
+        ov = rng.randn(B, No, 3).astype(np.float32)
+        labels_h = rng.randint(0, 14, (Nh,))
+        labels_o = rng.randint(0, 14, (B, No))
+        df_h = rng.rand(B, Nh).astype(np.float32) * 0.2
+        df_o = rng.rand(B, No).astype(np.float32) * 0.2
+        df_o[2] = 1.0  # example 2: no object-side contacts -> all eligible
+
+        # dense numpy oracle
+        thresh = 0.08
+        mh, mo = df_h < thresh, df_o < thresh
+        total, pairs = 0.0, 0
+        for b in range(B):
+            eh = mh[b] if mh[b].any() else np.ones(Nh, bool)
+            eo = mo[b] if mo[b].any() else np.ones(No, bool)
+            if not (mh[b].any() or mo[b].any()):
+                continue
+            d = ((hv[b][:, None] - ov[b][None]) ** 2).sum(-1)
+            for k in range(14):
+                hk = eh & (labels_h == k)
+                ok = eo & (labels_o[b] == k)
+                if hk.sum() == 0 or ok.sum() == 0:
+                    continue
+                total += d[hk][:, ok].min(1).mean() + d[hk][:, ok].min(0).mean()
+                pairs += 1
+        want = total / pairs if pairs else 0.0
+
+        got = float(L.contact_loss(
+            jnp.asarray(hv), jnp.asarray(ov), jnp.asarray(df_h),
+            jnp.asarray(df_o), jnp.asarray(labels_h), jnp.asarray(labels_o)))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_collision_batched_matches_per_example(self):
+        """One grouped kernel call over B must equal per-example losses."""
+        sv, sf = octasphere(radius=0.5, subdiv=2)
+        rng = np.random.RandomState(4)
+        B = 3
+        verts = jnp.asarray(np.stack([sv + rng.randn(3) * 0.01
+                                      for _ in range(B)]).astype(np.float32))
+        normals = L.vertex_normals(verts, sf)
+        obj = jnp.asarray(rng.randn(B, 25, 3).astype(np.float32) * 0.4)
+        batched = float(L.collision_loss(verts, normals, obj))
+        singles = [float(L.collision_loss(verts[b:b + 1], normals[b:b + 1],
+                                          obj[b:b + 1])) for b in range(B)]
+        np.testing.assert_allclose(batched, np.mean(singles), rtol=1e-5)
+
     def test_weighted_sum_decay(self):
         ld = {"df_h": jnp.asarray(2.0), "scale": jnp.asarray(1.0)}
         w = {"df_h": 900.0, "scale": 100.0}

@@ -71,6 +71,64 @@ class TestNNKernel:
         np.testing.assert_allclose(np.asarray(g), want, atol=1e-5)
 
 
+class TestGroupedNN:
+    """Group ids restrict matches: the one-kernel batching used by the
+    contact (example*14+part) and collision (example) losses."""
+
+    def _oracle(self, x, y, xg, yg, y_mask=None):
+        d2 = ((x[:, None] - y[None]) ** 2).sum(-1)
+        ok = xg[:, None] == yg[None, :]
+        if y_mask is not None:
+            ok &= y_mask[None, :]
+        d2 = np.where(ok, d2, 1e10)
+        return d2.min(1), d2.argmin(1)
+
+    def test_groups_match_bruteforce(self, clouds):
+        x, y = clouds
+        rng = np.random.RandomState(7)
+        xg = rng.randint(0, 5, len(x)).astype(np.int32)
+        yg = rng.randint(0, 5, len(y)).astype(np.int32)
+        d, i = nn_mod.nn_pallas(x, y, x_group=xg, y_group=yg)
+        dw, iw = self._oracle(x, y, xg, yg)
+        np.testing.assert_array_equal(np.asarray(i), iw)
+        np.testing.assert_allclose(np.asarray(d), dw, atol=1e-5)
+
+    def test_groups_plus_mask(self, clouds):
+        x, y = clouds
+        rng = np.random.RandomState(8)
+        xg = rng.randint(0, 4, len(x)).astype(np.int32)
+        yg = rng.randint(0, 4, len(y)).astype(np.int32)
+        mask = rng.rand(len(y)) > 0.4
+        d, i = nn_mod.nn_pallas(x, y, y_mask=mask, x_group=xg, y_group=yg)
+        dw, iw = self._oracle(x, y, xg, yg, mask)
+        matched = dw < 1e9
+        np.testing.assert_array_equal(np.asarray(i)[matched], iw[matched])
+        assert (np.asarray(d)[~matched] >= 1e9).all()
+
+    def test_empty_group_sentinel(self, clouds):
+        x, y = clouds
+        xg = np.full(len(x), 3, np.int32)  # group 3 has no refs
+        yg = np.zeros(len(y), np.int32)
+        d, _ = nn_mod.nn_sqdist_exact_grad(
+            jnp.asarray(x[:16]), jnp.asarray(y),
+            x_group=jnp.asarray(xg[:16]), y_group=jnp.asarray(yg))
+        assert float(jnp.min(d)) >= 1e9
+
+    def test_xla_path_groups(self, clouds):
+        from chore_tpu.ops.chamfer import _nn_sqdist_xla
+
+        x, y = clouds
+        rng = np.random.RandomState(9)
+        xg = rng.randint(0, 3, len(x)).astype(np.int32)
+        yg = rng.randint(0, 3, len(y)).astype(np.int32)
+        d, i = _nn_sqdist_xla(jnp.asarray(x), jnp.asarray(y),
+                              x_group=jnp.asarray(xg), y_group=jnp.asarray(yg),
+                              tile=128)
+        dw, iw = self._oracle(x, y, xg, yg)
+        np.testing.assert_array_equal(np.asarray(i), iw)
+        np.testing.assert_allclose(np.asarray(d), dw, atol=1e-4)
+
+
 class TestChamferDispatch:
     def test_cpu_uses_xla_path(self, clouds):
         from chore_tpu.ops.chamfer import nn_sqdist

@@ -1,31 +1,42 @@
-"""Benchmark: field-query throughput on the flagship CHORE forward.
+"""Benchmark: field-query throughput + encoder MFU + full-fit sec/image.
 
-Workload (BASELINE.md config b, the north-star): HGFilter encode (5-ch 512^2,
+Headline (BASELINE.md config b, the north-star): HGFilter encode (5-ch 512^2,
 release num_stack=5, eval mode) + 50k-point df/part/pose/center field query,
-batch 8, one chip.
+batch 8, one chip. vs_baseline is measured against a reference-architecture
+estimate of 400k points/sec/GPU (the reference publishes no numbers; see
+BASELINE.md -- structural cost of filter+query on its torch/CUDA stack).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured against a reference-architecture estimate of
-400k points/sec/GPU (the reference publishes no numbers; see BASELINE.md --
-structural cost of filter+query on its torch/CUDA stack).
+Extra fields on the same line:
+  encoder_ms        device-loop time of one 8x512^2 bf16 encode
+  encoder_mfu       encode FLOPs (XLA cost analysis) / time / bf16 peak
+  fit_sec_per_image steady-state full reconstruction fit of one image
+                    (release schedule: point generation + SMPL chain +
+                    object/sil/joint chain, silhouette on; the flagship
+                    workload of reference recon/recon_fit_behave.py:29-163)
+
+Prints ONE JSON line. Set CHORE_BENCH_SKIP_FIT=1 to skip the fit section
+(e.g. on machines where the ~4 min of one-time stage compiles matter).
 """
 import json
+import os
 import time
 
 import numpy as np
 
+# TPU v5e (v5 lite) peak bf16 matmul throughput, FLOP/s
+_PEAK_BF16 = {"v5 lite": 197e12, "v5e": 197e12, "v4": 275e12,
+              "v5p": 459e12, "v6": 918e12}
 
-def main():
-    import jax
-    import jax.numpy as jnp
 
-    from chore_tpu.models import CHOREField, FieldConfig
+def _peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, val in _PEAK_BF16.items():
+        if key in kind:
+            return val
+    return 197e12  # conservative default
 
-    B, N = 8, 50000
-    cfg = FieldConfig()
-    # inference precision: bf16 encoder (MXU native), f32 heads
-    model = CHOREField(cfg=cfg, encoder_dtype=jnp.bfloat16)
 
+def bench_field_query(jax, jnp, model, params, B=8, N=50000, iters=10):
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.rand(B, 512, 512, 5).astype(np.float32))
     points = jnp.asarray(
@@ -34,17 +45,6 @@ def main():
     crop_center = jnp.asarray(
         np.tile([[1018.0, 779.0]], (B, 1)).astype(np.float32)
     )
-    # init on CPU at a small image size (weight shapes are size-independent),
-    # then place on the accelerator ONCE (CPU-committed params would be
-    # re-transferred on every call)
-    with jax.default_device(jax.devices("cpu")[0]):
-        params = model.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 5)),
-            points[:1, :8], crop_center[:1], train=False,
-        )
-    params = jax.device_put(params, jax.devices()[0])
-
-    iters = 10
 
     @jax.jit
     def forward_loop(params, images, points, crop_center):
@@ -67,15 +67,116 @@ def main():
     # block_until_ready does not synchronize (remote-tunnel backends)
     float(forward_loop(params, images, points, crop_center))
     dt = (time.time() - t0) / iters
+    return B * N / dt, (images, crop_center)
 
-    pts_per_sec = B * N / dt
+
+def bench_encoder(jax, jnp, model, params, images, iters=10):
+    """(encode ms/call, MFU) of the bf16 hourglass encoder, batch 8."""
+
+    @jax.jit
+    def encode_loop(params, images):
+        def body(i, acc):
+            feats, tmpx = model.apply(
+                params, images + 1e-6 * i, train=False, method="encode"
+            )
+            return acc + feats[-1].sum().astype(jnp.float32) + \
+                tmpx.sum().astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    float(encode_loop(params, images))  # compile+warm
+    t0 = time.time()
+    float(encode_loop(params, images))
+    dt = (time.time() - t0) / iters
+
+    # analytic conv/dot FLOPs (compiled cost_analysis is unavailable on
+    # remote-tunnel backends)
+    from chore_tpu.utils.profiling import flops_estimate
+
+    mfu = None
+    try:
+        flops = flops_estimate(
+            lambda p, im: model.apply(p, im, train=False, method="encode"),
+            params, images)
+        mfu = flops / dt / _peak_flops(jax.devices()[0])
+    except Exception:
+        pass
+    return dt * 1e3, mfu
+
+
+def bench_fit(jax, jnp, model, params):
+    """Steady-state sec/image of the full release-schedule reconstruction
+    (reference flagship workload, recon_fit_behave.py:29-163) on a
+    synthetic scene -- zero external data, random-init net (worst case:
+    early stopping barely fires)."""
+    from chore_tpu.recon.fitter import FitConfig, ReconFitter
+    from chore_tpu.recon.generator import SamplerConfig
+    from chore_tpu.smpl import SMPLH, synthetic_smplh
+    from chore_tpu.utils.meshio import octasphere
+
+    rng = np.random.RandomState(0)
+    smplh = SMPLH(synthetic_smplh())
+    tv, tf = octasphere(radius=0.18, subdiv=2)
+    fitter = ReconFitter(model, params, smplh, tv, tf,
+                         cfg=FitConfig(), sampler_cfg=SamplerConfig())
+
+    images = rng.rand(1, 512, 512, 5).astype(np.float32)
+    crop_center = np.array([[1018.0, 779.0]], np.float32)
+    pose = (rng.randn(1, 72) * 0.05).astype(np.float32)
+    betas = np.zeros((1, 10), np.float32)
+    kpts = np.concatenate([np.full((1, 25, 2), 256, np.float32),
+                           np.ones((1, 25, 1), np.float32)], -1)
+
+    def run(k):
+        out = fitter.fit_batch(images, crop_center, pose, betas, kpts,
+                               key=jax.random.PRNGKey(k),
+                               use_silhouette=True)
+        # host readback = synchronization on remote-tunnel backends
+        return float(np.asarray(out["obj_params"]["obj_t"]).sum())
+
+    run(0)  # compile all stages
+    t0 = time.time()
+    run(1)
+    return time.time() - t0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from chore_tpu.models import CHOREField, FieldConfig
+
+    cfg = FieldConfig()
+    # inference precision: bf16 encoder (MXU native), f32 heads
+    model = CHOREField(cfg=cfg, encoder_dtype=jnp.bfloat16)
+    # init on CPU at a small image size (weight shapes are size-independent),
+    # then place on the accelerator ONCE (CPU-committed params would be
+    # re-transferred on every call)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 5)),
+            jnp.zeros((1, 8, 3)), jnp.zeros((1, 2)), train=False,
+        )
+    params = jax.device_put(params, jax.devices()[0])
+
+    pts_per_sec, (images, _) = bench_field_query(jax, jnp, model, params)
+    encoder_ms, encoder_mfu = bench_encoder(jax, jnp, model, params, images)
+
+    fit_sec = None
+    if os.environ.get("CHORE_BENCH_SKIP_FIT", "0") != "1":
+        fit_sec = bench_fit(jax, jnp, model, params)
+
     baseline = 4.0e5  # reference-architecture estimate, pts/sec/GPU
-    print(json.dumps({
+    out = {
         "metric": "field_query_points_per_sec_per_chip",
         "value": round(pts_per_sec, 1),
         "unit": "points/sec",
         "vs_baseline": round(pts_per_sec / baseline, 2),
-    }))
+        "encoder_ms": round(encoder_ms, 2),
+        "encoder_mfu": round(encoder_mfu, 4) if encoder_mfu else None,
+        "fit_sec_per_image": round(fit_sec, 2) if fit_sec else None,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -4,8 +4,11 @@ from chore_tpu.parallel.mesh import (
     is_main_process,
     local_batch_slice,
     make_mesh,
+    process_count,
+    process_index,
     replicate,
     shard_batch,
+    sync_decision,
 )
 
 __all__ = [
@@ -14,6 +17,9 @@ __all__ = [
     "is_main_process",
     "local_batch_slice",
     "make_mesh",
+    "process_count",
+    "process_index",
     "replicate",
     "shard_batch",
+    "sync_decision",
 ]

@@ -40,9 +40,37 @@ def init_distributed(coordinator=None, num_processes=None, process_id=None):
             print(f"init_distributed: auto-init skipped ({e})")
 
 
+def process_count():
+    """Number of participating host processes. Module-level indirection so
+    tests can monkeypatch the topology and execute the multi-host branches
+    on one host (jax's own functions cannot be faked per-call)."""
+    return jax.process_count()
+
+
+def process_index():
+    """This host's rank; injectable for tests like process_count()."""
+    return jax.process_index()
+
+
 def is_main_process():
     """Rank-0 gating for checkpoints/logs (reference: dist_utils.py:57-62)."""
-    return jax.process_index() == 0
+    return process_index() == 0
+
+
+def sync_decision(flag: bool) -> bool:
+    """Make a host-local boolean decision (e.g. 'checkpoint now', from
+    wall-clock time) agree across hosts by broadcasting process 0's value.
+    Any decision feeding an SPMD computation must pass through this, or
+    hosts diverge and the job deadlocks (reference has no analog: DDP
+    ranks never make independent control decisions; our wall-clock
+    checkpoint gate does, trainer.py periodic val)."""
+    if process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        import jax.numpy as jnp
+
+        return bool(multihost_utils.broadcast_one_to_all(jnp.asarray(flag)))
+    return bool(flag)
 
 
 def make_mesh(axis="data", devices=None):
@@ -75,7 +103,7 @@ def shard_batch(batch, mesh, axis="data"):
     global batch.
     """
     s = data_sharding(mesh, axis)
-    if jax.process_count() > 1:
+    if process_count() > 1:
         return jax.tree_util.tree_map(
             lambda x: jax.make_array_from_process_local_data(
                 s, np.asarray(x)
@@ -85,8 +113,12 @@ def shard_batch(batch, mesh, axis="data"):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
 
 
-def local_batch_slice(global_batch_size):
-    """Per-process slice of the global batch (multi-host data loading)."""
-    per = global_batch_size // jax.process_count()
-    start = jax.process_index() * per
+def local_batch_slice(global_batch_size, count=None, index=None):
+    """Per-process slice of the global batch (multi-host data loading).
+    count/index default to the live topology; pass them explicitly to
+    compute another rank's slice (or from tests)."""
+    count = process_count() if count is None else count
+    index = process_index() if index is None else index
+    per = global_batch_size // count
+    start = index * per
     return slice(start, start + per)

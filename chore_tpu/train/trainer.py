@@ -29,6 +29,7 @@ from chore_tpu.parallel import (
     make_mesh,
     replicate,
     shard_batch,
+    sync_decision,
 )
 from chore_tpu.train import checkpoints as ckpt
 
@@ -220,12 +221,8 @@ class Trainer:
                                     **{k: float(v) for k, v in parts.items()})
                     # periodic val/checkpoint; the decision must agree on
                     # every host (SPMD eval), so sync it off process 0
-                    due = time.time() - last_ck > self.ck_period
-                    if jax.process_count() > 1:
-                        from jax.experimental import multihost_utils
-
-                        due = bool(multihost_utils.broadcast_one_to_all(
-                            jnp.asarray(due)))
+                    due = sync_decision(
+                        time.time() - last_ck > self.ck_period)
                     if due:
                         self._validate_and_save(val_batches_fn)
                         last_ck = time.time()

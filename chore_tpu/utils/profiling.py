@@ -44,6 +44,68 @@ def annotate(name):
     return jax.profiler.TraceAnnotation(name)
 
 
+def flops_estimate(fn, *args, **kwargs):
+    """Analytic matmul/conv FLOP count of ``fn(*args)`` from its jaxpr.
+
+    Counts 2*MACs for ``dot_general`` and ``conv_general_dilated`` (the ops
+    that land on the MXU and dominate every workload here), recursing into
+    call/control-flow sub-jaxprs (scan bodies multiply by trip count).
+    Elementwise/reduction VPU work is excluded by design -- this feeds MFU
+    figures, which convention defines over matmul FLOPs. Works on any
+    backend, unlike compiled-executable cost_analysis (unavailable through
+    remote-tunnel platforms)."""
+    import jax
+    from jax._src import core as jcore
+
+    jaxpr = jax.make_jaxpr(fn, **kwargs)(*args)
+
+    def size(shape):
+        n = 1
+        for s in shape:
+            n *= int(s)
+        return n
+
+    def eqn_flops(eqn):
+        name = eqn.primitive.name
+        if name == "dot_general":
+            (lc, _), _ = eqn.params["dimension_numbers"]
+            lhs = eqn.invars[0].aval.shape
+            k = 1
+            for d in lc:
+                k *= int(lhs[d])
+            return 2.0 * size(eqn.outvars[0].aval.shape) * k
+        if name == "conv_general_dilated":
+            rhs = eqn.invars[1].aval.shape  # kernel
+            dn = eqn.params["dimension_numbers"]
+            groups = int(eqn.params.get("feature_group_count", 1))
+            # MACs per output element = C_in_per_group * prod(kernel spatial)
+            per_out = int(rhs[dn.rhs_spec[1]])
+            for d in dn.rhs_spec[2:]:
+                per_out *= int(rhs[d])
+            del groups  # rhs C_in dim is already per-group
+            return 2.0 * size(eqn.outvars[0].aval.shape) * per_out
+        total = 0.0
+        for pname, p in eqn.params.items():
+            sub = None
+            if isinstance(p, jcore.ClosedJaxpr):
+                sub = p.jaxpr
+            elif isinstance(p, jcore.Jaxpr):
+                sub = p
+            elif pname == "branches":  # cond: count the worst branch
+                return max(jaxpr_flops(b.jaxpr) for b in p)
+            if sub is not None:
+                f = jaxpr_flops(sub)
+                if name == "scan":
+                    f *= int(eqn.params.get("length", 1))
+                total += f
+        return total
+
+    def jaxpr_flops(jx):
+        return sum(eqn_flops(e) for e in jx.eqns)
+
+    return jaxpr_flops(jaxpr.jaxpr)
+
+
 class StepTimer:
     """Wall-clock accumulator keyed by phase name.
 

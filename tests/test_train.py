@@ -115,3 +115,43 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestFlopsEstimate:
+    """Analytic MXU FLOP counter (utils/profiling.py flops_estimate)."""
+
+    def test_matmul(self):
+        import jax.numpy as jnp
+        from chore_tpu.utils.profiling import flops_estimate
+
+        a = jnp.zeros((16, 32))
+        b = jnp.zeros((32, 8))
+        got = flops_estimate(lambda x, y: x @ y, a, b)
+        assert got == 2 * 16 * 32 * 8
+
+    def test_conv_and_scan(self):
+        import jax
+        import jax.numpy as jnp
+        from chore_tpu.utils.profiling import flops_estimate
+
+        x = jnp.zeros((2, 8, 8, 3))
+        k = jnp.zeros((3, 3, 3, 4))
+
+        def conv(x, k):
+            return jax.lax.conv_general_dilated(
+                x, k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        want = 2 * (2 * 8 * 8 * 4) * (3 * 3 * 3)
+        assert flops_estimate(conv, x, k) == want
+
+        k2 = jnp.zeros((3, 3, 3, 3))  # channel-preserving: stable carry
+        want2 = 2 * (2 * 8 * 8 * 3) * (3 * 3 * 3)
+
+        def scanned(x, k):
+            def body(c, _):
+                return conv(c, k), ()
+            out, _ = jax.lax.scan(body, x, None, length=5)
+            return out
+
+        assert flops_estimate(scanned, x, k2) == 5 * want2

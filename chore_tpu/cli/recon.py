@@ -40,7 +40,10 @@ class _PrepDataset:
 
 def recon_fit(cfg: ChoreConfig, seq_folder, save_name, outpath="recon_out",
               coco=False, obj_name=None, start=0, end=None, batch_size=1,
-              redo=False, tid=1, use_silhouette=True, data_parallel=False):
+              redo=False, tid=1, use_silhouette=True, data_parallel=False,
+              exp_root="experiments", fit_cfg=None, sampler_cfg=None):
+    """fit_cfg/sampler_cfg override the release schedule (quick runs,
+    tests); exp_root relocates the checkpoint search."""
     info_file = os.path.join(seq_folder, "info.json")
     if os.path.isfile(info_file):
         info = SeqInfo(seq_folder)
@@ -50,7 +53,7 @@ def recon_fit(cfg: ChoreConfig, seq_folder, save_name, outpath="recon_out",
         assert obj_name is not None, "provide -on for non-BEHAVE folders"
         gender = "male"
 
-    model, params = load_trained(cfg)
+    model, params = load_trained(cfg, exp_root=exp_root)
     smplh = load_smplh(gender)
     tv, tf = load_object_template(obj_name)
     weights = L.COCO_WEIGHTS if coco else L.BEHAVE_WEIGHTS
@@ -66,8 +69,10 @@ def recon_fit(cfg: ChoreConfig, seq_folder, save_name, outpath="recon_out",
         print(f"data-parallel fitting over {n} devices, "
               f"batch {batch_size}")
     fitter = ReconFitter(model, params, smplh, tv, tf, weights=weights,
-                         cfg=cfg.fit_config(),
-                         sampler_cfg=cfg.sampler_config(), mesh=mesh)
+                         cfg=fit_cfg if fit_cfg is not None
+                         else cfg.fit_config(),
+                         sampler_cfg=sampler_cfg if sampler_cfg is not None
+                         else cfg.sampler_config(), mesh=mesh)
     prep = TestImagePrep(image_size=tuple(cfg.net_img_size),
                          crop_size=cfg.loadSize, use_mean_center=coco,
                          crop_info_dir=outpath)

@@ -35,10 +35,22 @@ from chore_tpu.utils.render import align_to_input, look_at_side, render_meshes
 def run_demo(cfg: ChoreConfig, seq_folder, obj_name, outpath="demo_out",
              save_name="demo", max_frames=None, use_silhouette=True,
              fit_cfg: FitConfig = None, sampler_cfg: SamplerConfig = None,
-             render_size=512):
+             render_size=512, textured_obj=None):
+    """textured_obj: optional path to a textured OBJ used as the object
+    template; its texture shows up in the overlay renders (the reference's
+    neural_renderer load_obj/texture path, load_obj.py:98-164)."""
     model, params = load_trained(cfg)
     smplh = load_smplh()
-    tv, tf = load_object_template(obj_name)
+    tex_data = None
+    if textured_obj:
+        from chore_tpu.utils.textures import load_obj_textured
+
+        m = load_obj_textured(textured_obj)
+        tv, tf = m["verts"], m["faces"]
+        if m["texture"] is not None:
+            tex_data = (m["uv_faces"], m["texture"])
+    else:
+        tv, tf = load_object_template(obj_name)
     fitter = ReconFitter(
         model, params, smplh, tv, tf, weights=L.COCO_WEIGHTS,
         cfg=fit_cfg or cfg.fit_config(),
@@ -91,7 +103,8 @@ def run_demo(cfg: ChoreConfig, seq_folder, obj_name, outpath="demo_out",
         # overlay rendering (reference demo.py:28-53)
         meshes = [(smpl_verts[0], smplh.faces), (obj_verts[0], tf)]
         colors = [(0.2, 0.7, 0.3), (0.8, 0.3, 0.2)]
-        front, mask = render_meshes(meshes, colors, image_size=render_size)
+        front, mask = render_meshes(meshes, colors, image_size=render_size,
+                                    textures=[None, tex_data])
         import cv2
 
         orig = cv2.imread(rgb_file)
@@ -104,7 +117,8 @@ def run_demo(cfg: ChoreConfig, seq_folder, obj_name, outpath="demo_out",
         center = allv.mean(0)
         for v, f in meshes:
             side_meshes.append((look_at_side(v, 90.0, center), f))
-        side, _ = render_meshes(side_meshes, colors, image_size=render_size)
+        side, _ = render_meshes(side_meshes, colors, image_size=render_size,
+                                textures=[None, tex_data])
         cv2.imwrite(os.path.join(frame_out, "side.jpg"),
                     (side[..., ::-1] * 255).astype(np.uint8))
         print(f"{rgb_file}: done in {time.time() - t0:.1f}s -> {frame_out}")
@@ -120,6 +134,9 @@ def main():
     parser.add_argument("-sn", "--save_name", default="demo")
     parser.add_argument("--max-frames", type=int, default=None)
     parser.add_argument("--no-sil", action="store_true")
+    parser.add_argument("--textured-obj", default=None,
+                        help="textured OBJ template; texture shows in the "
+                        "overlay renders")
     args = parser.parse_args()
     try:
         cfg = load_config(args.exp_name)
@@ -127,7 +144,8 @@ def main():
         cfg = ChoreConfig(exp_name=args.exp_name)
     run_demo(cfg, args.seq_folder, args.obj_name, args.outpath,
              args.save_name, args.max_frames,
-             use_silhouette=not args.no_sil)
+             use_silhouette=not args.no_sil,
+             textured_obj=args.textured_obj)
 
 
 if __name__ == "__main__":

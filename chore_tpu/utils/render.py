@@ -40,34 +40,54 @@ def look_at_side(verts, angle_deg=90.0, center=None):
 
 
 def render_meshes(mesh_list, colors, image_size=512, K=None,
-                  light_dir=(0.3, -0.5, -0.8), background=None):
-    """Flat-shaded render of several meshes under the Kinect camera.
+                  light_dir=(0.3, -0.5, -0.8), background=None,
+                  textures=None, ambient=0.4, directional=0.6):
+    """Lambertian render of several meshes under the Kinect camera: one
+    z-buffer pass across all meshes, flat color or texture per mesh
+    (reference: render_utils.py:117-143 assembles faces+textures the same
+    way for its multi-mesh scenes).
 
     Args:
       mesh_list: list of (verts (V, 3), faces (F, 3)).
-      colors: list of RGB tuples per mesh.
+      colors: list of RGB tuples per mesh (used where untextured).
       image_size: output resolution (square; the 4:3 kinect view is
         letterboxed into it via the unit-K normalization).
       K: (3, 3) unit-coord intrinsics; default full-view Kinect.
+      textures: optional list parallel to mesh_list; entries are None or
+        (uv_faces (F, 3, 2) image coords, texture (H, W, 3) [0, 1]).
 
     Returns (image (S, S, 3) float [0, 1], mask (S, S) bool).
     """
     K = kinect_unit_k() if K is None else K
-    all_v, all_f, face_colors = [], [], []
+    textures = textures or [None] * len(mesh_list)
+    all_v, all_f, face_colors, all_uv, tex_id = [], [], [], [], []
+    tex_images = []
     off = 0
-    for (v, f), c in zip(mesh_list, colors):
+    for (v, f), c, tx in zip(mesh_list, colors, textures):
+        f = np.asarray(f, np.int64)
         all_v.append(np.asarray(v, np.float32))
-        all_f.append(np.asarray(f, np.int64) + off)
+        all_f.append(f + off)
         face_colors.append(np.tile(np.asarray(c, np.float32), (len(f), 1)))
+        if tx is not None:
+            uvf, img_tx = tx
+            all_uv.append(np.asarray(uvf, np.float32))
+            tex_id.append(np.full(len(f), len(tex_images), np.int32))
+            tex_images.append(np.asarray(img_tx, np.float32))
+        else:
+            all_uv.append(np.zeros((len(f), 3, 2), np.float32))
+            tex_id.append(np.full(len(f), -1, np.int32))
         off += len(v)
     verts = np.concatenate(all_v, 0)
     faces = np.concatenate(all_f, 0).astype(np.int32)
     fcolors = np.concatenate(face_colors, 0)
+    uv_faces = np.concatenate(all_uv, 0)
+    tex_id = np.concatenate(tex_id, 0)
 
     ndc = project_unit_k(jnp.asarray(verts)[None], jnp.asarray(K)[None])
     fi, depth, bary = hard_rasterize(ndc, jnp.asarray(faces),
                                      image_size=image_size)
     fi = np.asarray(fi[0])
+    bary = np.asarray(bary[0])
     mask = fi >= 0
     # flat shading from face normals
     v0 = verts[faces[:, 0]]
@@ -77,12 +97,21 @@ def render_meshes(mesh_list, colors, image_size=512, K=None,
     n = n / (np.linalg.norm(n, axis=1, keepdims=True) + 1e-12)
     l = np.asarray(light_dir, np.float32)
     l = l / np.linalg.norm(l)
-    shade = 0.4 + 0.6 * np.abs(n @ l)
+    shade = ambient + directional * np.abs(n @ l)
 
     img = (np.zeros((image_size, image_size, 3), np.float32)
            if background is None else background.copy())
     safe_fi = np.clip(fi, 0, len(faces) - 1)
-    shaded = fcolors[safe_fi] * shade[safe_fi][..., None]
+    base = fcolors[safe_fi]
+    if tex_images:
+        from chore_tpu.utils.textures import sample_uv_colors
+
+        uv_pix = np.einsum("hwk,hwkc->hwc", bary, uv_faces[safe_fi])
+        for t, tex in enumerate(tex_images):
+            sel = tex_id[safe_fi] == t
+            if sel.any():
+                base[sel] = sample_uv_colors(tex, uv_pix[sel])
+    shaded = base * shade[safe_fi][..., None]
     img[mask] = shaded[mask]
     return img, mask
 

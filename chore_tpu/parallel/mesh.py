@@ -85,9 +85,22 @@ def data_sharding(mesh, axis="data"):
 
 
 def replicate(tree, mesh):
-    """Replicate a pytree (params/opt state) across the mesh."""
+    """Replicate a pytree (params/opt state) across the mesh.
+
+    Device-array leaves are copied first: device_put aliases the input's
+    buffer when the source device belongs to the mesh (even under
+    may_alias=False on the CPU backend), so a later donation of the
+    replicated arrays (the trainer's donate_argnums) would silently delete
+    the CALLER's arrays too ("Array has been deleted" on any reuse of the
+    originals -- e.g. constructing a second Trainer from the same params).
+    The copy makes donation consume only the private intermediate."""
     s = NamedSharding(mesh, P())
-    return jax.device_put(tree, s)
+    return jax.device_put(
+        jax.tree_util.tree_map(
+            lambda x: x.copy() if isinstance(x, jax.Array) else x, tree
+        ),
+        s,
+    )
 
 
 def shard_batch(batch, mesh, axis="data"):

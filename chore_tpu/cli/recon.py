@@ -41,9 +41,11 @@ class _PrepDataset:
 def recon_fit(cfg: ChoreConfig, seq_folder, save_name, outpath="recon_out",
               coco=False, obj_name=None, start=0, end=None, batch_size=1,
               redo=False, tid=1, use_silhouette=True, data_parallel=False,
-              exp_root="experiments", fit_cfg=None, sampler_cfg=None):
+              exp_root="experiments", fit_cfg=None, sampler_cfg=None,
+              debug_viz=None):
     """fit_cfg/sampler_cfg override the release schedule (quick runs,
-    tests); exp_root relocates the checkpoint search."""
+    tests); exp_root relocates the checkpoint search; debug_viz writes
+    per-stage renders to that directory (utils/viewer.py)."""
     info_file = os.path.join(seq_folder, "info.json")
     if os.path.isfile(info_file):
         info = SeqInfo(seq_folder)
@@ -82,6 +84,11 @@ def recon_fit(cfg: ChoreConfig, seq_folder, save_name, outpath="recon_out",
     print(f"{len(files)} test frames")
     loader = DataLoader(_PrepDataset(files, prep), batch_size,
                         shuffle=False, num_workers=4, drop_last=False)
+    monitor = None
+    if debug_viz:
+        from chore_tpu.utils.viewer import FitMonitor
+
+        monitor = FitMonitor(debug_viz)
     for batch in loader:
         paths = batch["path"]
         if not redo and is_done(outpath, paths, save_name, tid):
@@ -103,7 +110,7 @@ def recon_fit(cfg: ChoreConfig, seq_folder, save_name, outpath="recon_out",
         result = fitter.fit_batch(
             batch["images"], batch["crop_center"], batch["mocap_pose"],
             batch["mocap_betas"], batch["kpts"],
-            use_silhouette=use_silhouette,
+            use_silhouette=use_silhouette, monitor=monitor,
         )
         smpl_verts = np.asarray(smplh.verts(result["smpl_params"]))
         obj_verts = np.asarray(
@@ -141,6 +148,8 @@ def main():
                         help="in-the-wild weights + mean-center restaging")
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard frame batches over all chips")
+    parser.add_argument("--debug-viz", default=None,
+                        help="write per-stage debug renders to this dir")
     args = parser.parse_args()
     try:
         cfg = load_config(args.exp_name)
@@ -149,7 +158,8 @@ def main():
     recon_fit(cfg, args.seq_folder, args.save_name, args.outpath,
               coco=args.coco, obj_name=args.obj_name, start=args.start,
               end=args.end, batch_size=args.batch_size, redo=args.redo,
-              tid=args.tid, data_parallel=args.data_parallel)
+              tid=args.tid, data_parallel=args.data_parallel,
+              debug_viz=args.debug_viz)
 
 
 if __name__ == "__main__":

@@ -320,7 +320,7 @@ class ReconFitter:
 
     # ------------------------------------------------------------------ #
     def fit_batch(self, images, crop_center, mocap_poses, mocap_betas,
-                  kpts2d, key=None, use_silhouette=True):
+                  kpts2d, key=None, use_silhouette=True, monitor=None):
         """Full per-batch reconstruction (reference fit_recon,
         recon_fit_behave.py:29-76).
 
@@ -330,6 +330,9 @@ class ReconFitter:
           mocap_poses: (B, 72) FrankMocap SMPL pose init.
           mocap_betas: (B, 10).
           kpts2d: (B, 25, 3) openpose keypoints in net-input pixels + conf.
+          monitor: optional utils.viewer.FitMonitor; snapshots frame 0's
+            state after each stage (the reference's MeshViewer debug loop,
+            recon_fit_base.py:442-511).
 
         Returns dict with smpl params, object params, and the generated
         point clouds. When constructed with a mesh, B must be divisible by
@@ -357,6 +360,12 @@ class ReconFitter:
             )
             jax.block_until_ready(pc["object"]["points"])
 
+        if monitor is not None:
+            monitor.snapshot("pclouds", pclouds={
+                "human": np.asarray(pc["human"]["points"][0]),
+                "object": np.asarray(pc["object"]["points"][0]),
+            })
+
         human_t = np.asarray(pc["human"]["centers"][:, :3]).copy()
         human_t[:, 2] = self.cfg.z0  # fixed depth
         human_t = jnp.asarray(human_t)
@@ -379,6 +388,10 @@ class ReconFitter:
                 mocap_poses, mocap_betas, human_t, kpts2d, k_smpl,
             )
             jax.block_until_ready(smpl_params)
+        if monitor is not None:
+            monitor.snapshot("smpl", meshes=[(
+                np.asarray(self.smplh.verts(smpl_params))[0],
+                np.asarray(self.smplh.faces), monitor.SMPL_COLOR)])
 
         sil_data = None
         if use_silhouette:
@@ -402,6 +415,14 @@ class ReconFitter:
                 human_t, scale, sil_data, k_obj, use_sil=use_silhouette,
             )
             jax.block_until_ready(obj_params)
+        if monitor is not None:
+            monitor.snapshot("object", meshes=[
+                (np.asarray(self.smplh.verts(smpl_params))[0],
+                 np.asarray(self.smplh.faces), monitor.SMPL_COLOR),
+                (np.asarray(self.transform_obj(
+                    obj_params, points=self.template_verts))[0],
+                 self.template_faces, monitor.OBJ_COLOR),
+            ])
         return {
             "smpl_params": smpl_params,
             "obj_params": obj_params,

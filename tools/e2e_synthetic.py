@@ -26,9 +26,17 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_scenes(root, n_frames, rng, obj_radius=0.18):
+def build_scenes(root, n_frames, rng, obj_radius=0.18, mask_res=256):
     """Synthetic frames: fixed body+object, tiny pose jitter; returns
-    (npz paths, GT meshes of frame 0)."""
+    (npz paths, GT meshes of frame 0).
+
+    Masks are REAL silhouettes rendered from the GT geometry with the
+    Kinect camera (not placeholder rectangles): the network's two mask
+    channels are its only evidence of where the object is, so geometric
+    masks are what make the synthetic task informative (diagnosed in
+    round 2 -- with rectangle masks the field learns no object location
+    and the fit converges to a ~14 cm-off field minimum regardless of
+    init; tools/diag_object.py)."""
     import cv2
     import jax.numpy as jnp
 
@@ -36,12 +44,22 @@ def build_scenes(root, n_frames, rng, obj_radius=0.18):
     from chore_tpu.smpl import SMPLH, synthetic_smplh
     from chore_tpu.smpl.model import init_params
     from chore_tpu.utils.meshio import octasphere
+    from chore_tpu.utils.render import render_meshes
 
     smplh = SMPLH(synthetic_smplh())
     sampler = BoundarySampler(seed=0)
     proc = os.path.join(root, "processed")
     os.makedirs(proc, exist_ok=True)
     paths, gt0 = [], None
+
+    def sil_mask(verts, faces):
+        """(1536, 2048) uint8 silhouette under the Kinect camera."""
+        _, m = render_meshes([(verts, faces)], [(1.0, 1.0, 1.0)],
+                             image_size=mask_res)
+        m = cv2.resize(m.astype(np.float32), (2048, 1536),
+                       interpolation=cv2.INTER_LINEAR)
+        return ((m > 0.5) * 255).astype(np.uint8)
+
     for i in range(n_frames):
         frame_dir = os.path.join(root, "frames", f"t{i:04d}.000")
         os.makedirs(frame_dir, exist_ok=True)
@@ -58,12 +76,11 @@ def build_scenes(root, n_frames, rng, obj_radius=0.18):
             sample_num=6000, min_samples=200,
         )
         out["smpl_center"][2] = 2.2
+        pm = sil_mask(sv.astype(np.float32), smplh.faces)
+        om = sil_mask(ov, of)
         img = np.full((1536, 2048, 3), 60, np.uint8)
-        pm = np.zeros((1536, 2048), np.uint8)
-        pm[300:1200, 800:1250] = 255
-        om = np.zeros((1536, 2048), np.uint8)
-        om[600:800, 1150:1350] = 255
-        cv2.rectangle(img, (800, 300), (1250, 1200), (90, 120, 160), -1)
+        img[pm > 127] = (90, 120, 160)
+        img[om > 127] = (160, 120, 90)
         rgb_file = os.path.join(frame_dir, "k1.color.jpg")
         cv2.imwrite(rgb_file, img)
         cv2.imwrite(os.path.join(frame_dir, "k1.person_mask.jpg"), pm)

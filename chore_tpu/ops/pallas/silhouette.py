@@ -1,0 +1,250 @@
+"""Pallas TPU kernel: soft-silhouette coverage (forward + custom VJP).
+
+The XLA soft rasterizer (ops/rasterizer.py soft_silhouette) is HBM-bound:
+each of its elementwise stages materializes a (pixels, faces) buffer --
+65536 x F floats, several times, forward and backward (measured 2.5 ms per
+silhouette gradient step at 256^2 x 128 faces, and it scales linearly in
+F). This kernel keeps the whole pixels x faces computation in VMEM:
+
+  * per face edge e: signed distance is affine in the pixel,
+        d_e(p) = A_e * px + B_e * py + C_e
+    so a (TILE_P, 8) pixel tile against an (8, TILE_F) coefficient block is
+    ONE MXU matmul per edge; coverage = sigmoid(min_e d_e) is VPU work on
+    the resident tile, reduced into a per-pixel accumulator.
+  * the backward pass re-computes the tile and contracts the sigmoid
+    derivative against the pixel coordinates -- also MXU matmuls --
+    accumulating per-face coefficient gradients across the sequential TPU
+    grid. d(coeffs)/d(vertices) stays in XLA autodiff outside the kernel.
+
+Coefficients arrive pre-scaled by 1/sigma; invalid faces (degenerate,
+behind camera, padding) carry C = -1e9 so they contribute sigmoid(-inf)=0
+forward and a zero derivative backward -- no separate mask plumbing.
+
+Replaces the forward/backward CUDA rasterizer pair of the reference for
+the silhouette loss (reference:
+external/neural_renderer/neural_renderer/cuda/rasterize_cuda_kernel.cu:98-215
+forward, :291+ hand-written edge-gradient backward; ours differentiates a
+soft coverage instead, same as ops/rasterizer.py).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+def _dots(a, e_refs, sl):
+    """Three per-edge affine evaluations as MXU matmuls.
+
+    a: (TILE_P, 8) pixel rows [px, py, 1, 0...]. e_refs: three (8, Fp)
+    coefficient blocks (rows 0..2 = A, B, C). Returns (TILE_P, TILE_F) x3.
+    """
+    out = []
+    for e_ref in e_refs:
+        e = e_ref[:, sl]
+        out.append(jax.lax.dot_general(
+            a, e, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HIGH))
+    return out
+
+
+def _fwd_kernel(pix_ref, e0_ref, e1_ref, e2_ref, out_ref, *, tile_f):
+    n_chunks = e0_ref.shape[1] // tile_f
+    a = pix_ref[:]  # (TILE_P, 8)
+
+    def chunk(j, acc):
+        sl = pl.ds(j * tile_f, tile_f)
+        d0, d1, d2 = _dots(a, (e0_ref, e1_ref, e2_ref), sl)
+        dmin = jnp.minimum(jnp.minimum(d0, d1), d2)
+        return acc + jnp.sum(
+            jax.nn.sigmoid(dmin), axis=1, keepdims=True)
+
+    acc = jnp.zeros((a.shape[0], 1), jnp.float32)
+    out_ref[:] = jax.lax.fori_loop(0, n_chunks, chunk, acc)
+
+
+def _bwd_kernel(pix_ref, e0_ref, e1_ref, e2_ref, g_ref,
+                de0_ref, de1_ref, de2_ref, *, tile_f):
+    pi = pl.program_id(0)
+
+    @pl.when(pi == 0)
+    def _init():
+        de0_ref[:] = jnp.zeros_like(de0_ref)
+        de1_ref[:] = jnp.zeros_like(de1_ref)
+        de2_ref[:] = jnp.zeros_like(de2_ref)
+
+    n_chunks = e0_ref.shape[1] // tile_f
+    a = pix_ref[:]  # (TILE_P, 8)
+    g = g_ref[:]  # (TILE_P, 1) upstream dL/d(raw coverage sum)
+
+    def chunk(j, _):
+        sl = pl.ds(j * tile_f, tile_f)
+        d0, d1, d2 = _dots(a, (e0_ref, e1_ref, e2_ref), sl)
+        dmin = jnp.minimum(jnp.minimum(d0, d1), d2)
+        s = jax.nn.sigmoid(dmin)
+        ds = g * s * (1.0 - s)  # (TILE_P, TILE_F)
+        # min subgradient: first edge attaining the min (argmin semantics)
+        m0 = (d0 <= d1) & (d0 <= d2)
+        m1 = (~m0) & (d1 <= d2)
+        m2 = ~(m0 | m1)
+        for m, de_ref in ((m0, de0_ref), (m1, de1_ref), (m2, de2_ref)):
+            contrib = jax.lax.dot_general(
+                a, jnp.where(m, ds, 0.0), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HIGH,
+            )  # (8, TILE_F)
+            de_ref[:, sl] += contrib
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk, 0)
+
+
+def _pix_aug(image_size):
+    """(P, 8) pixel rows [px, py, 1, 0...] at NDC pixel centers."""
+    coords = (2.0 * jnp.arange(image_size) + 1.0) / image_size - 1.0
+    gy, gx = jnp.meshgrid(coords, coords, indexing="ij")
+    p = gx.size
+    return jnp.concatenate([
+        gx.reshape(p, 1), gy.reshape(p, 1), jnp.ones((p, 1)),
+        jnp.zeros((p, 5)),
+    ], axis=-1).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("image_size", "tile_p",
+                                              "tile_f"))
+def _coverage_fwd_call(e, image_size, tile_p=256, tile_f=512):
+    """e: (3, 8, F) edge coefficients -> (P,) raw coverage sums."""
+    f = e.shape[-1]
+    tile_f = min(tile_f, -(-f // 128) * 128)
+    fpad = (-f) % tile_f
+    # pad with C = -1e9 (row 2): sigmoid -> 0
+    pad_col = jnp.zeros((3, 8, fpad), e.dtype).at[:, 2, :].set(-1e9)
+    ep = jnp.concatenate([e, pad_col], axis=-1) if fpad else e
+    pix = _pix_aug(image_size)
+    p = pix.shape[0]
+    grid = (p // tile_p,)
+    fp = ep.shape[-1]
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, tile_f=tile_f),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_p, 8), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, fp), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, fp), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, fp), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_p, 1), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, 1), jnp.float32),
+    )(pix, ep[0], ep[1], ep[2])
+    return out[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("image_size", "tile_p",
+                                              "tile_f"))
+def _coverage_bwd_call(e, g, image_size, tile_p=256, tile_f=512):
+    """g: (P,) upstream grads -> (3, 8, F) coefficient grads."""
+    f = e.shape[-1]
+    tile_f = min(tile_f, -(-f // 128) * 128)
+    fpad = (-f) % tile_f
+    pad_col = jnp.zeros((3, 8, fpad), e.dtype).at[:, 2, :].set(-1e9)
+    ep = jnp.concatenate([e, pad_col], axis=-1) if fpad else e
+    pix = _pix_aug(image_size)
+    p = pix.shape[0]
+    grid = (p // tile_p,)
+    fp = ep.shape[-1]
+    de = pl.pallas_call(
+        functools.partial(_bwd_kernel, tile_f=tile_f),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_p, 8), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, fp), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, fp), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, fp), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_p, 1), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, fp), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, fp), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, fp), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((8, fp), jnp.float32)] * 3,
+    )(pix, ep[0], ep[1], ep[2], g[:, None].astype(jnp.float32))
+    return jnp.stack([d[:, :f] for d in de], axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def coverage_sums(e, image_size):
+    """Raw per-pixel coverage sums sum_f sigmoid(min_e d_ef) from edge
+    coefficients e (3 edges, 8 rows [A;B;C;pad], F faces)."""
+    return _coverage_fwd_call(e, image_size)
+
+
+def _cov_fwd(e, image_size):
+    return _coverage_fwd_call(e, image_size), e
+
+
+def _cov_bwd(image_size, e, g):
+    return (_coverage_bwd_call(e, g, image_size),)
+
+
+coverage_sums.defvjp(_cov_fwd, _cov_bwd)
+
+
+def edge_coeffs(verts_ndc_one, faces, sigma):
+    """Differentiable per-face edge coefficients for one example.
+
+    verts_ndc_one: (V, 3) projected vertices. faces: (F, 3). Returns
+    (3, 8, F): rows 0..2 of dim 1 are A, B, C of d_e(p) = A px + B py + C,
+    scaled by 1/sigma and orientation-normalized; degenerate or
+    behind-camera faces carry C = -1e9 (zero coverage, zero gradient).
+    Same math as ops/rasterizer._signed_distance.
+    """
+    tri = verts_ndc_one[faces]  # (F, 3, 3)
+    xy = tri[..., :2]
+    a, b, c = xy[:, 0], xy[:, 1], xy[:, 2]
+
+    area2 = ((b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+             - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0]))
+    sign = jnp.where(area2 > 0, 1.0, -1.0)
+    ok = (jnp.abs(area2) >= 1e-12) & jnp.all(tri[..., 2] > 0.0, axis=-1)
+
+    def edge(p0, p1):
+        d = p1 - p0  # (F, 2)
+        ln = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
+        s = sign / (ln * sigma)
+        # d_e(p) = (dx*(py - p0y) - dy*(px - p0x)) / len * sign / sigma
+        A = -d[:, 1] * s
+        B = d[:, 0] * s
+        C = (d[:, 1] * p0[:, 0] - d[:, 0] * p0[:, 1]) * s
+        C = jnp.where(ok, C, -1e9)
+        A = jnp.where(ok, A, 0.0)
+        B = jnp.where(ok, B, 0.0)
+        return jnp.stack([A, B, C], axis=0)  # (3, F)
+
+    e = jnp.stack([edge(a, b), edge(b, c), edge(c, a)], axis=0)  # (3, 3, F)
+    f = faces.shape[0]
+    pad = jnp.zeros((3, 5, f), e.dtype)
+    return jnp.concatenate([e, pad], axis=1)  # (3, 8, F)
+
+
+def soft_silhouette_pallas(verts_ndc, faces, image_size=256, sigma=None):
+    """Drop-in TPU path for ops.rasterizer.soft_silhouette: (B, S, S)
+    clipped coverage, differentiable w.r.t. verts_ndc through the custom
+    VJP + XLA autodiff of the coefficient construction."""
+    if sigma is None:
+        sigma = 0.5 * (2.0 / image_size)
+
+    def one(v):
+        e = edge_coeffs(v, faces, sigma)
+        raw = coverage_sums(e, image_size)
+        return jnp.clip(raw, 0.0, 1.0).reshape(image_size, image_size)
+
+    return jax.vmap(one)(verts_ndc)

@@ -113,9 +113,21 @@ def soft_silhouette(verts_ndc, faces, image_size=256, sigma=None,
     """
     if sigma is None:
         sigma = 0.5 * (2.0 / image_size)
+    if jax.default_backend() == "tpu":
+        # fused Pallas kernel: the dense pixels x faces computation stays
+        # in VMEM (the XLA path below materializes several (P, F) buffers
+        # in HBM per step, forward and backward); same math, custom VJP
+        from chore_tpu.ops.pallas.silhouette import soft_silhouette_pallas
+
+        return soft_silhouette_pallas(verts_ndc, faces, image_size, sigma)
     pix = _pixel_grid(image_size)  # (P, 2)
     P = pix.shape[0]
     F = faces.shape[0]
+    # small meshes: shrink the tile to the 128-aligned face count -- a
+    # fixed 512 tile would pad a 128-face template 4x and the pixels*faces
+    # work (the whole cost, HBM-bound) scales with the padding (measured
+    # 12.7 -> 2.5 ms per silhouette grad step on the sphere template)
+    face_tile = min(face_tile, -(-F // 128) * 128)
     pad = (-F) % face_tile
     faces_p = jnp.pad(faces, ((0, pad), (0, 0)))
     valid = jnp.pad(jnp.ones((F,), bool), (0, pad))
@@ -156,6 +168,7 @@ def hard_rasterize(verts_ndc, faces, image_size=256, face_tile=512,
     pix = _pixel_grid(image_size)
     P = pix.shape[0]
     F = faces.shape[0]
+    face_tile = min(face_tile, -(-F // 128) * 128)  # see soft_silhouette
     pad = (-F) % face_tile
     faces_p = jnp.pad(faces, ((0, pad), (0, 0)))
     valid = jnp.pad(jnp.ones((F,), bool), (0, pad))

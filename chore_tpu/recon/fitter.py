@@ -240,10 +240,14 @@ class ReconFitter:
 
         smpl_verts = self.smplh.verts(smpl_params)  # smpl frozen here
         normals = L.vertex_normals(smpl_verts, np.asarray(self.smplh.faces))
-        # smpl_center_pred computed once (recon_fit_behave.py:113)
-        smpl_center_pred = jnp.mean(
-            query_fn(smpl_verts)["centers"][..., :3], axis=1
-        )
+        # ONE field query at the frozen smpl verts serves the whole chain:
+        # smpl_center_pred (recon_fit_behave.py:113) AND the contact loss's
+        # human-side df (recon_fit_base.py:560 re-queries identical inputs
+        # every iteration -- net and verts are both frozen here, so that
+        # per-step 6890-pt query is loop-invariant; hoisting it halves the
+        # joint-phase device time at identical math)
+        preds_h = query_fn(smpl_verts)
+        smpl_center_pred = jnp.mean(preds_h["centers"][..., :3], axis=1)
         trans_init = jax.lax.stop_gradient(obj_params["obj_t"])
 
         def obj_losses(op, phase, decay, k):
@@ -266,7 +270,6 @@ class ReconFitter:
                 )
                 ld["ocent"] = L.ocent_loss(obj, obj_center_pred)
                 if phase == "joint":
-                    preds_h = query_fn(smpl_verts)
                     ld["contact"] = L.contact_loss(
                         smpl_verts, obj,
                         df_hum_o=preds_h["df"][..., 1],

@@ -48,6 +48,7 @@ class ChoreConfig:
     hourglass_dim: int = 256
     norm: str = "group"
     skip_hourglass: bool = True
+    remat: bool = False  # hourglass rematerialization (bigger train batches)
     hg_down: str = "ave_pool"
     z_feat: str = "xyz"
     projection_mode: str = "perspective"
@@ -75,6 +76,7 @@ class ChoreConfig:
             net_img_size=self.net_img_size[0],
             z0=self.z_0,
             clamp_thres=self.clamp_thres,
+            remat=self.remat,
         )
 
     def sampler_config(self, num_points=5000) -> SamplerConfig:

@@ -44,6 +44,7 @@ class FieldConfig:
     z0: float = 2.2
     out_dist: float = 5.0  # df for points outside the image (chore.py:65)
     clamp_thres: float = 0.1
+    remat: bool = False  # rematerialize hourglass stacks (training memory)
     # weights for [df_h, df_o, parts, pca, obj_center, smpl_center]
     # (reference: chore.py:62)
     loss_weights: Sequence[float] = (1.0, 1.0, 0.006, 500.0, 1000.0, 1000.0)
@@ -95,6 +96,7 @@ class CHOREField(nn.Module):
             features=256,
             out_dim=c.hourglass_dim,
             dtype=self.encoder_dtype,
+            remat=c.remat,
             name="image_filter",
         )
         self.df = Decoder(c.hidden_dim, 2, self.dtype, name="df")

@@ -68,6 +68,7 @@ class HGFilter(nn.Module):
     features: int = 256
     out_dim: int = 256
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # rematerialize each hourglass in the backward pass
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -85,9 +86,13 @@ class HGFilter(nn.Module):
 
         previous = x
         outputs = []
+        # nn.remat trades ~1/3 more encoder FLOPs for O(num_stack) less
+        # activation memory -- the hourglasses dominate both; the lifted
+        # transform keeps the parameter tree identical (checkpoint compat)
+        HG = nn.remat(HourGlass) if self.remat else HourGlass
         for i in range(self.num_stack):
-            hg = HourGlass(self.depth, self.features, self.dtype,
-                           name=f"m{i}")(previous)
+            hg = HG(self.depth, self.features, self.dtype,
+                    name=f"m{i}")(previous)
             ll = ConvBlock(self.features, self.features, self.dtype,
                            name=f"top_m_{i}")(hg)
             ll = nn.Conv(self.features, (1, 1), kernel_init=conv_init,

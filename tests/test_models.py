@@ -190,3 +190,52 @@ class TestMixedPrecision:
         # part argmax labels essentially unchanged
         agree = (p16["parts"].argmax(-1) == p32["parts"].argmax(-1)).mean()
         assert float(agree) > 0.95
+
+
+class TestRemat:
+    """remat=True must be a pure memory/FLOPs trade: identical parameter
+    tree (checkpoint compat) and identical outputs/gradients."""
+
+    def test_same_tree_and_outputs(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from chore_tpu.models import CHOREField, FieldConfig, chore_losses
+
+        rng = np.random.RandomState(0)
+        images = jnp.asarray(rng.rand(1, 64, 64, 5).astype(np.float32))
+        points = jnp.asarray(
+            (rng.rand(1, 32, 3) * [2, 2, 0.5] + [-1, -1, 1.95]).astype(
+                np.float32))
+        cc = jnp.asarray(np.array([[1018.0, 779.0]], np.float32))
+        batch = {
+            "images": images, "points": points, "crop_center": cc,
+            "df_h": jnp.zeros((1, 32)), "df_o": jnp.zeros((1, 32)),
+            "parts": jnp.zeros((1, 32), jnp.int32),
+            "pca": jnp.tile(jnp.eye(3), (1, 32, 1, 1)),
+            "body_center": jnp.asarray([[0.0, 0, 2.2]]),
+            "obj_center": jnp.asarray([[0.3, 0, 0.0]]),
+        }
+
+        outs, grads = [], []
+        params0 = None
+        for remat in (False, True):
+            cfg = FieldConfig(num_stack=2, num_hourglass=2, net_img_size=64,
+                              remat=remat)
+            model = CHOREField(cfg=cfg)
+            params = model.init(jax.random.PRNGKey(0), images, points, cc)
+            if params0 is None:
+                params0 = params
+            assert (jax.tree_util.tree_structure(params)
+                    == jax.tree_util.tree_structure(params0))
+
+            def loss(p):
+                return chore_losses(model.apply(
+                    p, images, points, cc), batch, cfg)[0]
+
+            outs.append(np.asarray(model.apply(params0, images, points, cc
+                                               )[-1]["df"]))
+            grads.append(np.asarray(jax.tree_util.tree_leaves(
+                jax.grad(loss)(params0))[0]))
+        np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
+        np.testing.assert_allclose(grads[0], grads[1], rtol=1e-5, atol=1e-7)

@@ -28,12 +28,14 @@ _PEAK_BF16 = {"v5 lite": 197e12, "v5e": 197e12, "v4": 275e12,
               "v5p": 459e12, "v6": 918e12}
 
 
-def _peak_flops(device) -> float:
+def _peak_flops(device):
+    """Peak bf16 FLOP/s for a known device kind, else None (an unknown
+    chip must yield encoder_mfu=null, not a confidently wrong number)."""
     kind = getattr(device, "device_kind", "").lower()
     for key, val in _PEAK_BF16.items():
         if key in kind:
             return val
-    return 197e12  # conservative default
+    return None
 
 
 def bench_field_query(jax, jnp, model, params, B=8, N=50000, iters=10):
@@ -94,13 +96,16 @@ def bench_encoder(jax, jnp, model, params, images, iters=10):
     from chore_tpu.utils.profiling import flops_estimate
 
     mfu = None
-    try:
-        flops = flops_estimate(
-            lambda p, im: model.apply(p, im, train=False, method="encode"),
-            params, images)
-        mfu = flops / dt / _peak_flops(jax.devices()[0])
-    except Exception:
-        pass
+    peak = _peak_flops(jax.devices()[0])
+    if peak is not None:
+        try:
+            flops = flops_estimate(
+                lambda p, im: model.apply(p, im, train=False,
+                                          method="encode"),
+                params, images)
+            mfu = flops / dt / peak
+        except Exception:
+            pass
     return dt * 1e3, mfu
 
 

@@ -114,19 +114,27 @@ def _pix_aug(image_size):
     ], axis=-1).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("image_size", "tile_p",
-                                              "tile_f"))
-def _coverage_fwd_call(e, image_size, tile_p=256, tile_f=512):
-    """e: (3, 8, F) edge coefficients -> (P,) raw coverage sums."""
+def _pad_inputs(e, image_size, tile_p, tile_f):
+    """Pad faces (C = -1e9 -> zero coverage) and pixels (rows of zeros,
+    sliced off after) to tile multiples."""
     f = e.shape[-1]
-    tile_f = min(tile_f, -(-f // 128) * 128)
-    fpad = (-f) % tile_f
-    # pad with C = -1e9 (row 2): sigmoid -> 0
+    tile_f = min(tile_f, -(-max(f, 1) // 128) * 128)
+    fpad = (-f) % tile_f or (tile_f if f == 0 else 0)
     pad_col = jnp.zeros((3, 8, fpad), e.dtype).at[:, 2, :].set(-1e9)
     ep = jnp.concatenate([e, pad_col], axis=-1) if fpad else e
     pix = _pix_aug(image_size)
     p = pix.shape[0]
-    grid = (p // tile_p,)
+    ppad = (-p) % tile_p
+    pix = jnp.pad(pix, ((0, ppad), (0, 0)))
+    return ep, pix, p, tile_f
+
+
+@functools.partial(jax.jit, static_argnames=("image_size", "tile_p",
+                                              "tile_f"))
+def _coverage_fwd_call(e, image_size, tile_p=256, tile_f=512):
+    """e: (3, 8, F) edge coefficients -> (P,) raw coverage sums."""
+    ep, pix, p, tile_f = _pad_inputs(e, image_size, tile_p, tile_f)
+    grid = (pix.shape[0] // tile_p,)
     fp = ep.shape[-1]
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, tile_f=tile_f),
@@ -140,9 +148,9 @@ def _coverage_fwd_call(e, image_size, tile_p=256, tile_f=512):
         ],
         out_specs=pl.BlockSpec((tile_p, 1), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((p, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((pix.shape[0], 1), jnp.float32),
     )(pix, ep[0], ep[1], ep[2])
-    return out[:, 0]
+    return out[:p, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("image_size", "tile_p",
@@ -150,13 +158,10 @@ def _coverage_fwd_call(e, image_size, tile_p=256, tile_f=512):
 def _coverage_bwd_call(e, g, image_size, tile_p=256, tile_f=512):
     """g: (P,) upstream grads -> (3, 8, F) coefficient grads."""
     f = e.shape[-1]
-    tile_f = min(tile_f, -(-f // 128) * 128)
-    fpad = (-f) % tile_f
-    pad_col = jnp.zeros((3, 8, fpad), e.dtype).at[:, 2, :].set(-1e9)
-    ep = jnp.concatenate([e, pad_col], axis=-1) if fpad else e
-    pix = _pix_aug(image_size)
-    p = pix.shape[0]
-    grid = (p // tile_p,)
+    ep, pix, p, tile_f = _pad_inputs(e, image_size, tile_p, tile_f)
+    # padded pixel rows carry zero upstream grad -> zero contribution
+    g = jnp.pad(g, (0, pix.shape[0] - p))
+    grid = (pix.shape[0] // tile_p,)
     fp = ep.shape[-1]
     de = pl.pallas_call(
         functools.partial(_bwd_kernel, tile_f=tile_f),

@@ -127,8 +127,10 @@ def soft_silhouette(verts_ndc, faces, image_size=256, sigma=None,
     # fixed 512 tile would pad a 128-face template 4x and the pixels*faces
     # work (the whole cost, HBM-bound) scales with the padding (measured
     # 12.7 -> 2.5 ms per silhouette grad step on the sphere template)
-    face_tile = min(face_tile, -(-F // 128) * 128)
-    pad = (-F) % face_tile
+    face_tile = min(face_tile, -(-max(F, 1) // 128) * 128)
+    # at least one (all-padding, masked-out) tile: the scan body traces
+    # with static slice sizes even at trip count 0
+    pad = (-F) % face_tile or (face_tile if F == 0 else 0)
     faces_p = jnp.pad(faces, ((0, pad), (0, 0)))
     valid = jnp.pad(jnp.ones((F,), bool), (0, pad))
     n_tiles = faces_p.shape[0] // face_tile
@@ -168,8 +170,8 @@ def hard_rasterize(verts_ndc, faces, image_size=256, face_tile=512,
     pix = _pixel_grid(image_size)
     P = pix.shape[0]
     F = faces.shape[0]
-    face_tile = min(face_tile, -(-F // 128) * 128)  # see soft_silhouette
-    pad = (-F) % face_tile
+    face_tile = min(face_tile, -(-max(F, 1) // 128) * 128)  # see soft_silhouette
+    pad = (-F) % face_tile or (face_tile if F == 0 else 0)
     faces_p = jnp.pad(faces, ((0, pad), (0, 0)))
     valid = jnp.pad(jnp.ones((F,), bool), (0, pad))
     n_tiles = faces_p.shape[0] // face_tile

@@ -154,21 +154,20 @@ def contact_loss(smpl_verts, obj_points, df_hum_o, df_obj_h,
     # an example with no contacts on either side contributes nothing
     example_on = (any_h | any_o)[:, 0]  # (B,)
 
-    ex = jnp.arange(B, dtype=jnp.int32)[:, None] * P
-    gh = ex + jnp.broadcast_to(part_labels_h[None], (B, Nh))  # (B, Nh)
-    go = ex + part_labels_o  # (B, No)
-    d_h, _ = nn_sqdist(
-        smpl_verts.reshape(-1, 3), obj_points.reshape(-1, 3),
-        y_mask=eff_o.reshape(-1), x_group=gh.reshape(-1),
-        y_group=go.reshape(-1),
-    )
-    d_o, _ = nn_sqdist(
-        obj_points.reshape(-1, 3), smpl_verts.reshape(-1, 3),
-        y_mask=eff_h.reshape(-1), x_group=go.reshape(-1),
-        y_group=gh.reshape(-1),
-    )
-    d_h = d_h.reshape(B, Nh)
-    d_o = d_o.reshape(B, No)
+    # vmap over examples: the kernel batches via an extra grid dimension,
+    # so all B x 14 part-pair NN problems are still ONE launch but each
+    # example only sweeps its own references (B*N*M work, not B^2*N*M as a
+    # flattened batch-offset grouping would)
+    gh = jnp.broadcast_to(part_labels_h[None], (B, Nh))  # (B, Nh)
+    go = part_labels_o  # (B, No)
+    d_h, _ = jax.vmap(
+        lambda x, y, ym, xg, yg: nn_sqdist(x, y, y_mask=ym, x_group=xg,
+                                           y_group=yg)
+    )(smpl_verts, obj_points, eff_o, gh, go)
+    d_o, _ = jax.vmap(
+        lambda x, y, ym, xg, yg: nn_sqdist(x, y, y_mask=ym, x_group=xg,
+                                           y_group=yg)
+    )(obj_points, smpl_verts, eff_h, go, gh)
 
     part_ids = jnp.arange(P)
     hm = eff_h[..., None] & (part_labels_h[None, :, None] == part_ids)
@@ -216,16 +215,11 @@ def collision_loss(smpl_verts, smpl_normals, obj_points):
     reference's no_grad BVH search, recon_fit_base.py:620-622); gradients
     flow through both the object points and the SMPL surface.
     """
-    B, No = obj_points.shape[:2]
-    Nh = smpl_verts.shape[1]
-    # whole batch in ONE grouped kernel call (group = example index);
-    # flat indices land inside the example's own row block by construction
-    flat_idx = jax.lax.stop_gradient(nn_sqdist(
-        obj_points.reshape(-1, 3), smpl_verts.reshape(-1, 3),
-        x_group=jnp.repeat(jnp.arange(B, dtype=jnp.int32), No),
-        y_group=jnp.repeat(jnp.arange(B, dtype=jnp.int32), Nh),
-    )[1])
-    idx = flat_idx.reshape(B, No) - jnp.arange(B, dtype=jnp.int32)[:, None] * Nh
+    # vmapped per-example 1-NN: one kernel launch with a batch grid dim,
+    # each example sweeping only its own verts
+    idx = jax.lax.stop_gradient(jax.vmap(
+        lambda q, r: nn_sqdist(q, r)[1]
+    )(obj_points, smpl_verts))  # (B, No)
     v_nn = jnp.take_along_axis(smpl_verts, idx[..., None], axis=1)
     n_nn = jnp.take_along_axis(smpl_normals, idx[..., None], axis=1)
     signed = jnp.sum((obj_points - v_nn) * n_nn, axis=-1)  # (B, No)

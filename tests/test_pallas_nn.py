@@ -148,3 +148,28 @@ class TestAllMasked:
             y_mask=jnp.zeros(len(y), bool),
         )
         assert float(jnp.min(d)) >= 1e9  # sentinel, not phantom distances
+
+
+class TestVmappedNN:
+    def test_vmap_matches_per_example(self, clouds):
+        """vmapped kernel (batch grid dim) == per-example calls; this is
+        how the contact/collision losses batch without B^2 work."""
+        rng = np.random.RandomState(11)
+        B = 3
+        x = rng.randn(B, 70, 3).astype(np.float32)
+        y = rng.randn(B, 40, 3).astype(np.float32)
+        xg = rng.randint(0, 4, (B, 70)).astype(np.int32)
+        yg = rng.randint(0, 4, (B, 40)).astype(np.int32)
+        ym = rng.rand(B, 40) > 0.3
+        d_b, i_b = jax.vmap(
+            lambda a, b, m, g1, g2: nn_mod.nn_sqdist_exact_grad(
+                a, b, y_mask=m, x_group=g1, y_group=g2)
+        )(jnp.asarray(x), jnp.asarray(y), jnp.asarray(ym),
+          jnp.asarray(xg), jnp.asarray(yg))
+        for b in range(B):
+            d1, i1 = nn_mod.nn_sqdist_exact_grad(
+                jnp.asarray(x[b]), jnp.asarray(y[b]),
+                y_mask=jnp.asarray(ym[b]), x_group=jnp.asarray(xg[b]),
+                y_group=jnp.asarray(yg[b]))
+            np.testing.assert_allclose(np.asarray(d_b[b]), np.asarray(d1),
+                                       atol=1e-5)

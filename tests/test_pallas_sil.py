@@ -88,3 +88,34 @@ class TestGradients:
 
         g = np.asarray(jax.grad(loss)(ndc))
         assert np.isfinite(g).all()
+
+
+class TestOddSizes:
+    def test_non_multiple_image_size(self, scene):
+        """image_size whose pixel count is not a tile multiple must pad,
+        not truncate (200^2 = 40000 is not divisible by 256)."""
+        ndc, faces = scene
+        want = np.asarray(R.soft_silhouette(ndc, faces, image_size=200))
+        got = np.asarray(
+            sil_mod.soft_silhouette_pallas(ndc, faces, image_size=200))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+        def loss(fn, t):
+            sil = fn(ndc + t[None, None], faces, image_size=200)
+            return jnp.mean(sil ** 2)
+
+        g_xla = np.asarray(jax.grad(
+            lambda t: loss(R.soft_silhouette, t))(jnp.zeros(3)))
+        g_pal = np.asarray(jax.grad(
+            lambda t: loss(sil_mod.soft_silhouette_pallas, t))(jnp.zeros(3)))
+        # checks padding correctness (dropped pixels would change the mean
+        # by 1.6%), not float summation order
+        np.testing.assert_allclose(g_pal, g_xla, rtol=2e-3, atol=1e-7)
+
+    def test_empty_faces_render_empty(self):
+        empty = jnp.zeros((0, 3), jnp.int32)
+        ndc = jnp.zeros((1, 4, 3))
+        out = np.asarray(R.soft_silhouette(ndc, empty, image_size=32))
+        assert out.shape == (1, 32, 32) and (out == 0).all()
+        fi, _, _ = R.hard_rasterize(ndc, empty, image_size=32)
+        assert (np.asarray(fi) == -1).all()

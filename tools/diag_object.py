@@ -31,7 +31,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from e2e_synthetic import build_scenes  # noqa: E402  (tools/ sibling)
+from e2e_synthetic import build_scenes, train_field  # noqa: E402  (tools/)
 
 
 def chamfer_np(a, b):
@@ -52,11 +52,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from chore_tpu.data import BehaveTrainData, DataLoader
-    from chore_tpu.models import CHOREField, FieldConfig
+    from chore_tpu.data import BehaveTrainData
     from chore_tpu.recon.fitter import FitConfig, ReconFitter
     from chore_tpu.recon.generator import SamplerConfig
-    from chore_tpu.train.trainer import Trainer
     from chore_tpu.utils.meshio import sample_surface
 
     rng = np.random.RandomState(0)
@@ -64,32 +62,12 @@ def main():
     gt_obj_v, gt_obj_f = gt0["obj"]
     gt_center = gt_obj_v.mean(0)  # octasphere center (0.45, 0.1, 2.25)
 
-    cfg = FieldConfig(num_stack=args.num_stack, num_hourglass=2,
-                      net_img_size=args.img_size)
-    model = CHOREField(cfg=cfg)
-    with jax.default_device(jax.devices("cpu")[0]):
-        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 5)),
-                            jnp.zeros((1, 8, 3)), jnp.zeros((1, 2)))
-    params = jax.device_put(params, jax.devices()[0])
-
-    ds = BehaveTrainData(paths, phase="train", total_samplenum=4000,
-                         image_size=(args.img_size, args.img_size))
-    loader = DataLoader(ds, batch_size=min(4, args.frames), shuffle=True,
-                        num_workers=2, drop_last=False)
-    trainer = Trainer(model, params, os.path.join(args.out, "exp"),
-                      base_lr=1e-3, ck_period_min=1e9,
-                      milestones=(int(args.epochs * 0.75),
-                                  int(args.epochs * 0.9)))
-    for epoch in range(args.epochs):
-        loader.set_epoch(epoch)
-        trainer.set_epoch_lr(epoch)
-        for batch in loader:
-            batch.pop("path", None)
-            loss, _ = trainer.train_step(batch)
-        trainer.epoch += 1
-    print(f"trained {args.epochs} epochs, final loss {float(loss):.2f}",
+    # the SAME training regime the e2e check uses (shared helper)
+    model, params, cfg, losses = train_field(
+        paths, args.out, args.epochs, num_stack=args.num_stack,
+        img_size=args.img_size, verbose=False)
+    print(f"trained {args.epochs} epochs, final loss {losses[-1]:.2f}",
           file=sys.stderr)
-    params = jax.device_put(jax.device_get(trainer.params), jax.devices()[0])
 
     item = BehaveTrainData([paths[0]], phase="val", total_samplenum=4000,
                            image_size=(args.img_size, args.img_size))[0]

@@ -94,6 +94,54 @@ def build_scenes(root, n_frames, rng, obj_radius=0.18, mask_res=256):
     return paths, gt0, smplh
 
 
+def train_field(paths, out_dir, epochs, num_stack=2, img_size=256,
+                verbose=True):
+    """Build the CHORE field net and train it on preprocessed synthetic
+    frames (shared by the e2e check and tools/diag_object.py so both
+    measure the SAME training regime). Returns (model, params, cfg) with
+    params on the accelerator."""
+    import jax
+    import jax.numpy as jnp
+
+    from chore_tpu.data import BehaveTrainData, DataLoader
+    from chore_tpu.models import CHOREField, FieldConfig
+    from chore_tpu.train.trainer import Trainer
+
+    cfg = FieldConfig(num_stack=num_stack, num_hourglass=2,
+                      net_img_size=img_size)
+    model = CHOREField(cfg=cfg)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 5)),
+                            jnp.zeros((1, 8, 3)), jnp.zeros((1, 2)))
+    params = jax.device_put(params, jax.devices()[0])
+
+    if len(paths) < 2:
+        raise SystemExit("need >= 2 frames")
+    ds = BehaveTrainData(paths, phase="train", total_samplenum=4000,
+                         image_size=(img_size, img_size))
+    loader = DataLoader(ds, batch_size=min(4, len(paths)), shuffle=True,
+                        num_workers=2, drop_last=False)
+    # scale the LR milestones to the run length (the release [15, 25]
+    # assumes ~3000 steps/epoch; here an epoch is 2 steps)
+    trainer = Trainer(model, params, os.path.join(out_dir, "exp"),
+                      base_lr=1e-3, ck_period_min=1e9,
+                      milestones=(int(epochs * 0.75), int(epochs * 0.9)))
+    losses = []
+    for epoch in range(epochs):
+        loader.set_epoch(epoch)
+        trainer.set_epoch_lr(epoch)
+        for batch in loader:
+            batch.pop("path", None)
+            loss, _ = trainer.train_step(batch)
+            losses.append(float(loss))
+        if verbose:
+            print(f"epoch {epoch}: loss {losses[-1]:.3f}", flush=True)
+        trainer.epoch += 1
+    params = jax.device_put(jax.device_get(trainer.params),
+                            jax.devices()[0])
+    return model, params, cfg, losses
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=40)
@@ -107,56 +155,24 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from chore_tpu.data import BehaveTrainData, DataLoader
-    from chore_tpu.models import CHOREField, FieldConfig
+    from chore_tpu.data import BehaveTrainData
     from chore_tpu.ops.chamfer import chamfer_eval
     from chore_tpu.ops.procrustes import apply_transform, similarity_transform
     from chore_tpu.recon import losses as L
     from chore_tpu.recon.fitter import FitConfig, ReconFitter
     from chore_tpu.recon.generator import SamplerConfig
-    from chore_tpu.train.trainer import Trainer
     from chore_tpu.utils.meshio import sample_surface
 
     rng = np.random.RandomState(0)
     paths, gt0, smplh = build_scenes(args.out, args.frames, rng, args.obj_radius)
-
-    cfg = FieldConfig(num_stack=args.num_stack, num_hourglass=2,
-                      net_img_size=args.img_size)
-    model = CHOREField(cfg=cfg)
-    with jax.default_device(jax.devices("cpu")[0]):
-        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 5)),
-                            jnp.zeros((1, 8, 3)), jnp.zeros((1, 2)))
-    params = jax.device_put(params, jax.devices()[0])
-
-    if args.frames < 2:
-        raise SystemExit("--frames must be >= 2")
-    ds = BehaveTrainData(paths, phase="train", total_samplenum=4000,
-                         image_size=(args.img_size, args.img_size))
-    loader = DataLoader(ds, batch_size=min(4, args.frames), shuffle=True,
-                        num_workers=2, drop_last=False)
-    # scale the LR milestones to the run length (the release [15, 25]
-    # assumes ~3000 steps/epoch; here an epoch is 2 steps)
-    trainer = Trainer(model, params, os.path.join(args.out, "exp"),
-                      base_lr=1e-3, ck_period_min=1e9,
-                      milestones=(int(args.epochs * 0.75),
-                                  int(args.epochs * 0.9)))
-
-    losses = []
-    for epoch in range(args.epochs):
-        loader.set_epoch(epoch)
-        trainer.set_epoch_lr(epoch)
-        for batch in loader:
-            batch.pop("path", None)
-            loss, _ = trainer.train_step(batch)
-            losses.append(float(loss))
-        print(f"epoch {epoch}: loss {losses[-1]:.3f}", flush=True)
-        trainer.epoch += 1
+    model, params, cfg, losses = train_field(
+        paths, args.out, args.epochs, num_stack=args.num_stack,
+        img_size=args.img_size)
 
     # reconstruct frame 0 with the trained weights
-    params = jax.device_get(trainer.params)
     tv, tf = gt0["obj"]
     fitter = ReconFitter(
-        model, jax.device_put(params, jax.devices()[0]), smplh,
+        model, params, smplh,
         tv - tv.mean(0), tf,
         weights=L.BEHAVE_WEIGHTS,
         cfg=FitConfig(net_in_size=args.img_size, sil_rend_size=128),

@@ -99,10 +99,14 @@ def bicubic_upsample_matrix(in_size, out_size):
 
 
 def bicubic_upsample_2x(x):
-    """NHWC bicubic x2 upsample, align_corners=True, as two matmuls."""
+    """NHWC bicubic x2 upsample, align_corners=True, as two matmuls.
+
+    The interpolation matrices are cast to the activation dtype: f32
+    weights would silently promote a bf16 encoder's activations to f32
+    for the rest of the hourglass (4x matmul cost + casts)."""
     B, H, W, C = x.shape
-    wh = jnp.asarray(bicubic_upsample_matrix(H, 2 * H))
-    ww = jnp.asarray(bicubic_upsample_matrix(W, 2 * W))
+    wh = jnp.asarray(bicubic_upsample_matrix(H, 2 * H), x.dtype)
+    ww = jnp.asarray(bicubic_upsample_matrix(W, 2 * W), x.dtype)
     x = jnp.einsum("oh,bhwc->bowc", wh, x)
     x = jnp.einsum("ow,bhwc->bhoc", ww, x)
     return x

@@ -133,3 +133,72 @@ def test_forward_parity_release_shape(torch_chore):
         np.testing.assert_allclose(
             np.asarray(ours["centers"]), centers_t.transpose(0, 2, 1),
             err_msg=f"centers stack {s}", **kw)
+
+
+def test_loss_parity_get_errors(torch_chore):
+    """chore_losses reproduces the reference CHORE.get_errors term by term
+    (reference: model/chore.py:193-242) on synthetic predictions below the
+    clamp threshold, where our documented leaky-clip deviation coincides
+    exactly with the reference's hard clamp."""
+    from chore_tpu.models import FieldConfig, chore_losses
+
+    cfg = FieldConfig(num_stack=2)
+    rng = np.random.RandomState(1)
+    # B=1: at B>1 the reference's obj-center term broadcasts its (B,3,N)
+    # error against a (B,1,1,N) mask into (B,B,3,N) -- cross-example
+    # mask/error mixing (model/chore.py:218-220), a latent reference bug
+    # that its release training (per-GPU batches) silently averages in.
+    # Our per-example formulation is the intended math; parity is asserted
+    # where the two coincide.
+    B, N = 1, 300
+    clamp = cfg.clamp_thres  # 0.1 (config clamp_thres)
+
+    preds_list, torch_preds = [], []
+    for _ in range(cfg.num_stack):
+        df = rng.rand(B, N, 2).astype(np.float32) * 0.09  # below clamp
+        pca = rng.randn(B, N, 3, 3).astype(np.float32)
+        parts = rng.randn(B, N, 14).astype(np.float32)
+        centers = rng.randn(B, N, 6).astype(np.float32)
+        preds_list.append({
+            "df": jnp.asarray(df), "pca": jnp.asarray(pca),
+            "parts": jnp.asarray(parts), "centers": jnp.asarray(centers),
+        })
+        torch_preds.append((
+            torch.from_numpy(df.transpose(0, 2, 1)),
+            torch.from_numpy(pca.transpose(0, 2, 3, 1)),
+            torch.from_numpy(parts.transpose(0, 2, 1)),
+            torch.from_numpy(centers.transpose(0, 2, 1)),
+        ))
+
+    batch = {
+        "df_h": rng.rand(B, N).astype(np.float32) * 0.2,
+        "df_o": rng.rand(B, N).astype(np.float32) * 0.2,
+        "parts": rng.randint(0, 14, (B, N)),
+        "pca": rng.randn(B, N, 3, 3).astype(np.float32),
+        "body_center": rng.randn(B, 3).astype(np.float32),
+        "obj_center": rng.randn(B, 3).astype(np.float32),
+    }
+
+    torch_chore.intermediate_preds_list = torch_preds
+    with torch.no_grad():
+        err_t, losses_t = torch_chore.get_errors(
+            torch.from_numpy(batch["df_h"]),
+            torch.from_numpy(batch["df_o"]),
+            torch.from_numpy(batch["parts"]).long(),
+            torch.from_numpy(batch["pca"].transpose(0, 2, 3, 1)),
+            clamp,
+            torch.from_numpy(batch["body_center"]),
+            torch.from_numpy(batch["obj_center"])[..., None],
+        )
+
+    batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+    err_j, parts_j = chore_losses(preds_list, batch_j, cfg)
+
+    np.testing.assert_allclose(float(err_j), float(err_t), rtol=1e-5)
+    ours_by_ref_order = [parts_j["df_h"], parts_j["df_o"], parts_j["parts"],
+                         parts_j["pca"], parts_j["smpl_center"],
+                         parts_j["obj_center"]]
+    np.testing.assert_allclose(
+        np.asarray([float(v) for v in ours_by_ref_order]),
+        losses_t.numpy(), rtol=1e-4,
+        err_msg="per-term losses [df_h, df_o, parts, pca, smpl_c, obj_c]")

@@ -109,6 +109,51 @@ def bench_encoder(jax, jnp, model, params, images, iters=10):
     return dt * 1e3, mfu
 
 
+def bench_fit_guarded(timeout_s=None):
+    """Run the fit benchmark in a subprocess with a hard timeout so a slow
+    remote-compile environment can never take the headline metrics down
+    with it. Returns sec/image or None."""
+    import subprocess
+    import sys
+
+    timeout_s = timeout_s or float(
+        os.environ.get("CHORE_BENCH_FIT_TIMEOUT", "1800"))
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import bench; print('FIT_RESULT', bench.run_fit_child())"],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    for line in (proc.stdout or "").splitlines():
+        if line.startswith("FIT_RESULT "):
+            try:
+                return float(line.split()[1])
+            except ValueError:
+                return None
+    return None
+
+
+def run_fit_child():
+    """Entry for the fit-benchmark subprocess."""
+    import jax
+    import jax.numpy as jnp
+
+    from chore_tpu.models import CHOREField, FieldConfig
+
+    cfg = FieldConfig()
+    model = CHOREField(cfg=cfg, encoder_dtype=jnp.bfloat16)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 5)),
+            jnp.zeros((1, 8, 3)), jnp.zeros((1, 2)), train=False,
+        )
+    params = jax.device_put(params, jax.devices()[0])
+    return bench_fit(jax, jnp, model, params)
+
+
 def bench_fit(jax, jnp, model, params):
     """Steady-state sec/image of the full release-schedule reconstruction
     (reference flagship workload, recon_fit_behave.py:29-163) on a
@@ -169,7 +214,7 @@ def main():
 
     fit_sec = None
     if os.environ.get("CHORE_BENCH_SKIP_FIT", "0") != "1":
-        fit_sec = bench_fit(jax, jnp, model, params)
+        fit_sec = bench_fit_guarded()
 
     baseline = 4.0e5  # reference-architecture estimate, pts/sec/GPU
     out = {

@@ -38,6 +38,25 @@ def _peak_flops(device):
     return None
 
 
+def build_bench_model(jax, jnp):
+    """The benchmark model: release config, bf16 encoder, params placed on
+    the accelerator once (shared by main() and the fit subprocess so both
+    always measure the same thing)."""
+    from chore_tpu.models import CHOREField, FieldConfig
+
+    cfg = FieldConfig()
+    model = CHOREField(cfg=cfg, encoder_dtype=jnp.bfloat16)
+    # init on CPU at a small image size (weight shapes are size-independent),
+    # then place on the accelerator ONCE (CPU-committed params would be
+    # re-transferred on every call)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 5)),
+            jnp.zeros((1, 8, 3)), jnp.zeros((1, 2)), train=False,
+        )
+    return model, jax.device_put(params, jax.devices()[0])
+
+
 def bench_field_query(jax, jnp, model, params, B=8, N=50000, iters=10):
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.rand(B, 512, 512, 5).astype(np.float32))
@@ -116,16 +135,27 @@ def bench_fit_guarded(timeout_s=None):
     import subprocess
     import sys
 
+    import jax
+
     timeout_s = timeout_s or float(
         os.environ.get("CHORE_BENCH_FIT_TIMEOUT", "1800"))
+    expected_backend = jax.default_backend()
     try:
         proc = subprocess.run(
             [sys.executable, "-c",
              "import bench; print('FIT_RESULT', bench.run_fit_child())"],
             capture_output=True, text=True, timeout=timeout_s,
             cwd=os.path.dirname(os.path.abspath(__file__)),
+            env={**os.environ, "CHORE_BENCH_EXPECT_BACKEND":
+                 expected_backend},
         )
     except subprocess.TimeoutExpired:
+        print("bench: fit subprocess timed out", file=sys.stderr)
+        return None
+    if proc.returncode != 0:
+        tail = "\n".join((proc.stderr or "").splitlines()[-8:])
+        print(f"bench: fit subprocess failed (rc={proc.returncode}):\n"
+              f"{tail}", file=sys.stderr)
         return None
     for line in (proc.stdout or "").splitlines():
         if line.startswith("FIT_RESULT "):
@@ -137,20 +167,19 @@ def bench_fit_guarded(timeout_s=None):
 
 
 def run_fit_child():
-    """Entry for the fit-benchmark subprocess."""
+    """Entry for the fit-benchmark subprocess. Refuses to measure on a
+    different backend than the parent (a local single-client TPU held by
+    the parent would make jax silently fall back to CPU here, and a CPU
+    number must never masquerade as the chip's fit time)."""
     import jax
     import jax.numpy as jnp
 
-    from chore_tpu.models import CHOREField, FieldConfig
-
-    cfg = FieldConfig()
-    model = CHOREField(cfg=cfg, encoder_dtype=jnp.bfloat16)
-    with jax.default_device(jax.devices("cpu")[0]):
-        params = model.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 5)),
-            jnp.zeros((1, 8, 3)), jnp.zeros((1, 2)), train=False,
-        )
-    params = jax.device_put(params, jax.devices()[0])
+    expect = os.environ.get("CHORE_BENCH_EXPECT_BACKEND")
+    if expect and jax.default_backend() != expect:
+        raise SystemExit(
+            f"fit subprocess backend {jax.default_backend()!r} != parent "
+            f"{expect!r}; refusing to report a wrong-device number")
+    model, params = build_bench_model(jax, jnp)
     return bench_fit(jax, jnp, model, params)
 
 
@@ -194,20 +223,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from chore_tpu.models import CHOREField, FieldConfig
-
-    cfg = FieldConfig()
-    # inference precision: bf16 encoder (MXU native), f32 heads
-    model = CHOREField(cfg=cfg, encoder_dtype=jnp.bfloat16)
-    # init on CPU at a small image size (weight shapes are size-independent),
-    # then place on the accelerator ONCE (CPU-committed params would be
-    # re-transferred on every call)
-    with jax.default_device(jax.devices("cpu")[0]):
-        params = model.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 5)),
-            jnp.zeros((1, 8, 3)), jnp.zeros((1, 2)), train=False,
-        )
-    params = jax.device_put(params, jax.devices()[0])
+    model, params = build_bench_model(jax, jnp)
 
     pts_per_sec, (images, _) = bench_field_query(jax, jnp, model, params)
     encoder_ms, encoder_mfu = bench_encoder(jax, jnp, model, params, images)

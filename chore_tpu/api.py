@@ -20,6 +20,8 @@ import os
 
 import numpy as np
 
+import jax
+
 from chore_tpu.cli.common import (
     load_object_template,
     load_smplh,
@@ -59,6 +61,13 @@ class Reconstructor:
                 cfg = ChoreConfig(exp_name=exp_name_or_cfg)
         self.cfg = cfg
         self.coco = coco
+        if (fit_cfg is not None
+                and fit_cfg.net_in_size != cfg.net_img_size[0]):
+            raise ValueError(
+                f"fit_cfg.net_in_size={fit_cfg.net_in_size} must match "
+                f"cfg.net_img_size={cfg.net_img_size[0]}: the image prep "
+                "scales keypoints into net-input pixels with one and the "
+                "keypoint loss rescales with the other")
         self.model, self.params = load_trained(cfg, exp_root=exp_root)
         self.smplh = load_smplh(gender)
         self.template_verts, self.template_faces = \
@@ -94,14 +103,30 @@ class Reconstructor:
         files = [rgb_files] if single else list(rgb_files)
         items = [self.prep.prepare(str(f)) for f in files]
         batch = collate(items)
+        n_real = len(files)
+        if self.fitter.mesh is not None:
+            # pad to the device count by repeating the last frame (the
+            # sharded stage jits need a divisible batch; extras are
+            # dropped below) -- same policy as cli/recon.py
+            n_dev = int(self.fitter.mesh.devices.size)
+            pad = (-n_real) % n_dev
+            if pad:
+                batch = {k: np.concatenate([v] + [v[-1:]] * pad, axis=0)
+                         for k, v in batch.items()}
         result = self.fitter.fit_batch(
             batch["images"], batch["crop_center"], batch["mocap_pose"],
             batch["mocap_betas"], batch["kpts"],
             use_silhouette=use_silhouette, key=key, monitor=monitor,
         )
-        smpl_verts = np.asarray(self.smplh.verts(result["smpl_params"]))
+        smpl_verts = np.asarray(
+            self.smplh.verts(result["smpl_params"]))[:n_real]
         obj_verts = np.asarray(self.fitter.transform_obj(
-            result["obj_params"], points=self.fitter.template_verts))
+            result["obj_params"], points=self.fitter.template_verts))[:n_real]
+        result = {
+            k: (jax.tree_util.tree_map(lambda x: np.asarray(x)[:n_real], v)
+                if k in ("smpl_params", "obj_params", "obj_R") else v)
+            for k, v in result.items()
+        }
         return {
             "smpl_verts": smpl_verts,
             "smpl_faces": np.asarray(self.smplh.faces),

@@ -5,10 +5,10 @@ recon/recon_fit_base.py:513-676, recon/recon_fit_behave.py:165-222,293-358)
 with the two CUDA-backed losses rebuilt TPU-native:
 
   * contact: the ragged per-part pytorch3d Pointclouds chamfer
-    (recon_fit_base.py:553-608) becomes two grouped fused-NN kernel calls
-    (group id = example * 14 + part), mean over valid part pairs (identical
-    semantics to pytorch3d's cloud-mean reduction) -- no (N_h, N_o) matrix
-    ever materializes.
+    (recon_fit_base.py:553-608) becomes two vmapped grouped fused-NN
+    kernel calls (group id = part label, batch via the kernel grid), mean
+    over valid part pairs (identical semantics to pytorch3d's cloud-mean
+    reduction) -- no (N_h, N_o) matrix ever materializes.
   * collision: the BVH + DistanceFieldPenetrationLoss CUDA pair
     (recon_fit_base.py:79-86,610-639) becomes a BVH-free signed-distance
     penalty: object points behind the nearest SMPL vertex's outward normal
@@ -137,9 +137,11 @@ def contact_loss(smpl_verts, obj_points, df_hum_o, df_obj_h,
     forms a cloud pair; the loss is the mean over pairs of the
     bidirectional mean squared chamfer (pytorch3d convention).
 
-    All B * 14 part-pair NN problems run as TWO grouped fused-kernel calls
-    (group id = example * 14 + part) -- nothing materializes the (Nh, No)
-    distance matrix the torch version builds per part pair.
+    All B * 14 part-pair NN problems run as TWO vmapped grouped-kernel
+    calls (batch = kernel grid dimension, group id = part label within the
+    example) -- nothing materializes the (Nh, No) distance matrix the
+    torch version builds per part pair, and each example only sweeps its
+    own references.
     """
     _BIG = 1e10
     B, Nh = df_hum_o.shape

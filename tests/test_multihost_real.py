@@ -11,13 +11,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def test_two_process_training_step():
     env = {**os.environ, "JAX_PLATFORMS": "cpu",
-           "CHORE_SMOKE_PORT": "12411"}
+           "CHORE_SMOKE_PORT": "12411", "CHORE_SMOKE_TIMEOUT": "420"}
     # scrub the single-process test session's device-count flag: each rank
     # sets its own
     env.pop("XLA_FLAGS", None)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "multihost_smoke.py")],
-        capture_output=True, text=True, timeout=550, env=env,
+        capture_output=True, text=True, timeout=500, env=env,
     )
     assert out.returncode == 0, out.stdout + out.stderr
     assert "multihost smoke OK" in out.stdout

@@ -98,8 +98,8 @@ def train_field(paths, out_dir, epochs, num_stack=2, img_size=256,
                 verbose=True):
     """Build the CHORE field net and train it on preprocessed synthetic
     frames (shared by the e2e check and tools/diag_object.py so both
-    measure the SAME training regime). Returns (model, params, cfg) with
-    params on the accelerator."""
+    measure the SAME training regime). Returns (model, params, cfg,
+    losses) with params on the accelerator."""
     import jax
     import jax.numpy as jnp
 

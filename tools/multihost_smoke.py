@@ -84,7 +84,6 @@ def run_rank(rank):
             model.apply(p, b["images"], b["points"], b["crop_center"]),
             b, cfg)
 
-    @jax.jit
     def step(p, o, b):
         (l, _), g = jax.value_and_grad(loss_fn, has_aux=True)(p, b)
         u, o = tx.update(g, o, p)
@@ -96,8 +95,9 @@ def run_rank(rank):
     params, opt_state, loss = step_j(params, opt_state, batch)
     loss = float(loss)
 
-    # the checkpoint-gate sync path with a real 2-process broadcast
-    due = sync_decision(rank == 0 and True)
+    # the checkpoint-gate sync path with a real 2-process broadcast:
+    # only rank 0 decides "due"; every host must receive True
+    due = sync_decision(rank == 0)
     assert due is True, "rank 0's decision must reach every host"
 
     print(f"RANK {rank} main={is_main_process()} loss={loss:.6f} OK",
@@ -112,15 +112,38 @@ def main():
         run_rank(args.rank)
         return
 
+    import tempfile
+    import time as _time
+
+    # ranks write to FILES, not pipes: two interdependent SPMD ranks with
+    # full stdout pipes would deadlock mid-collective
+    logs = [tempfile.NamedTemporaryFile("w+", suffix=f".rank{r}.log",
+                                        delete=False) for r in range(NPROC)]
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--rank", str(r)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            stdout=logs[r], stderr=subprocess.STDOUT, text=True,
             env={**os.environ, "JAX_PLATFORMS": "cpu"},
         )
         for r in range(NPROC)
     ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    deadline = _time.time() + float(os.environ.get("CHORE_SMOKE_TIMEOUT",
+                                                   "480"))
+    try:
+        for p in procs:
+            p.wait(timeout=max(1.0, deadline - _time.time()))
+    except subprocess.TimeoutExpired:
+        raise SystemExit("multihost smoke timed out")
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()  # no orphaned ranks holding the rendezvous port
+    outs = []
+    for lg in logs:
+        lg.flush(); lg.seek(0)
+        outs.append(lg.read())
+        lg.close()
+        os.unlink(lg.name)
     losses = []
     for r, (p, out) in enumerate(zip(procs, outs)):
         ok = p.returncode == 0 and f"RANK {r}" in out and "OK" in out

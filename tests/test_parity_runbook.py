@@ -162,3 +162,22 @@ class TestParityRunbook:
         assert np.isfinite(result["obj"]["mean"])
         files = os.listdir(tmp_path / "results")
         assert len(files) == 1  # timestamped JSON written
+
+
+class TestDataParallelRecon:
+    def test_recon_cli_over_mesh(self, tmp_path):
+        """The --data-parallel recon path: batch padded to the device
+        count, frames sharded over the 8-device mesh, outputs written for
+        the real frames only."""
+        seq = _build_sequence(tmp_path)
+        outpath = str(tmp_path / "recon_dp")
+        recon_fit(CFG, str(seq), "dprun", outpath=outpath,
+                  exp_root=str(tmp_path / "none"), fit_cfg=FIT,
+                  sampler_cfg=SAMP, use_silhouette=False,
+                  data_parallel=True)
+        out_dir = os.path.join(outpath, seq.name, "t0005.000", "dprun")
+        assert os.path.isfile(os.path.join(out_dir, "k1.smpl.ply"))
+        assert os.path.isfile(os.path.join(out_dir, "k1.object.ply"))
+        # exactly one frame of outputs despite the padded batch of 8
+        frames = os.listdir(os.path.join(outpath, seq.name))
+        assert frames == ["t0005.000"]

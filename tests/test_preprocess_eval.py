@@ -110,3 +110,54 @@ class TestEvaluator:
                             outdir=str(tmp_path / "results"))
         result = ev.eval_seqs([seq], "test-sn", tid=1)
         assert result is None  # every frame gated out
+
+
+class TestProcessScaleSeq:
+    def test_full_sequence_preprocessing(self, tmp_path):
+        """cli.preprocess's engine end-to-end on a synthetic BEHAVE
+        sequence: world->kinect transform, 2.2/z depth scaling, boundary
+        sampling, npz layout (reference: preprocess_scale.py:29-129)."""
+        import sys
+
+        from chore_tpu.preprocess import process_scale_seq
+        from chore_tpu.smpl import SMPLH, synthetic_smplh
+        from chore_tpu.smpl.model import init_params
+
+        # reuse the synthetic BEHAVE tree from the reader tests
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from tests.test_readers import seq as seq_fixture
+
+        seq_dir = seq_fixture.__wrapped__(tmp_path)
+
+        # replace the sphere person fits with a real-sized body: the
+        # depth scaling regresses the pelvis from 6890 verts
+        import jax.numpy as jnp
+        smplh = SMPLH(synthetic_smplh())
+        sp = init_params(jnp.zeros((1, 72)), jnp.zeros((1, 10)),
+                         jnp.zeros((1, 3)))
+        sv = np.asarray(smplh.verts(sp))[0]
+        pelvis = np.asarray(smplh.pelvis(sp))[0]
+        sv = sv + (np.array([0, 0, 2.0]) - pelvis)  # z=2.0 -> scale 1.1
+        for t in ("t0001.000", "t0002.000", "t0003.000"):
+            f = os.path.join(seq_dir, t, "person", "fit02",
+                             "person_fit.ply")
+            if os.path.isfile(f):
+                save_ply(f, sv, smplh.faces)
+
+        out = process_scale_seq(seq_dir, str(tmp_path / "proc"),
+                                sample_num=2000, kids=[0, 1])
+        # 2 complete frames x 2 kinects (the incomplete frame has fits
+        # too, so it also processes -- frames discovery already dropped
+        # nothing here because fits exist; count what came back)
+        assert len(out) >= 4
+        data = np.load(out[0], allow_pickle=True)
+        for key in ("points", "dist_h", "dist_o", "parts", "pca_axis",
+                    "smpl_center", "obj_center", "image_file", "sigmas"):
+            assert key in data, key
+        # depth normalization: smpl center at the fixed depth
+        assert abs(float(data["smpl_center"][2]) - 2.2) < 1e-3
+        # idempotent re-run (is-done skip)
+        out2 = process_scale_seq(seq_dir, str(tmp_path / "proc"),
+                                 sample_num=2000, kids=[0, 1])
+        assert out2 == out

@@ -32,10 +32,39 @@ from chore_tpu.utils.meshio import save_ply
 from chore_tpu.utils.render import align_to_input, look_at_side, render_meshes
 
 
+def extract_field_meshes(fitter, images, crop_center, res=128, level=0.01,
+                         bounds=((-1.2, -1.2, 1.7), (1.2, 1.2, 2.7))):
+    """Marching-cubes the neural UDF level sets into meshes (the
+    reference's PIFu gen_mesh capability, model/net_util.py:50-114 +
+    mesh_util.py:8-52, which CHORE keeps as legacy; here exposed per
+    head). Returns {'human': (verts, faces), 'object': (verts, faces)}.
+    UDFs are unsigned, so the level-set mesh is a thin shell around the
+    surface at distance ``level``."""
+    import jax.numpy as jnp
+
+    from chore_tpu.utils.marching import reconstruction
+
+    feats, tmpx = fitter.generator.encode(jnp.asarray(images))
+    cc = jnp.asarray(np.asarray(crop_center, np.float32))
+
+    out = {}
+    for name, idx in (("human", 0), ("object", 1)):
+        def eval_fn(pts, idx=idx):
+            preds = fitter.model.apply(
+                fitter.params, feats, tmpx, jnp.asarray(pts[None]), cc,
+                method="query")
+            return np.asarray(preds[-1]["df"][0, :, idx])
+
+        bmin = np.asarray(bounds[0], np.float32)
+        bmax = np.asarray(bounds[1], np.float32)
+        out[name] = reconstruction(eval_fn, res, bmin, bmax, level=level)
+    return out
+
+
 def run_demo(cfg: ChoreConfig, seq_folder, obj_name, outpath="demo_out",
              save_name="demo", max_frames=None, use_silhouette=True,
              fit_cfg: FitConfig = None, sampler_cfg: SamplerConfig = None,
-             render_size=512, textured_obj=None):
+             render_size=512, textured_obj=None, field_mesh_res=0):
     """textured_obj: optional path to a textured OBJ used as the object
     template; its texture shows up in the overlay renders (the reference's
     neural_renderer load_obj/texture path, load_obj.py:98-164)."""
@@ -99,6 +128,13 @@ def run_demo(cfg: ChoreConfig, seq_folder, obj_name, outpath="demo_out",
                  np.asarray(pc["human"]["points"][0]))
         save_ply(os.path.join(frame_out, "object_pc.ply"),
                  np.asarray(pc["object"]["points"][0]))
+        if field_mesh_res:
+            meshes_f = extract_field_meshes(
+                fitter, batch["images"], batch["crop_center"],
+                res=field_mesh_res)
+            for name, (fv, ff) in meshes_f.items():
+                save_ply(os.path.join(frame_out, f"{name}_field.ply"),
+                         fv, ff)
 
         # overlay rendering (reference demo.py:28-53)
         meshes = [(smpl_verts[0], smplh.faces), (obj_verts[0], tf)]
@@ -137,6 +173,9 @@ def main():
     parser.add_argument("--textured-obj", default=None,
                         help="textured OBJ template; texture shows in the "
                         "overlay renders")
+    parser.add_argument("--field-mesh-res", type=int, default=0,
+                        help="also marching-cube the UDF level sets into "
+                        "{human,object}_field.ply at this grid resolution")
     args = parser.parse_args()
     try:
         cfg = load_config(args.exp_name)
@@ -145,7 +184,8 @@ def main():
     run_demo(cfg, args.seq_folder, args.obj_name, args.outpath,
              args.save_name, args.max_frames,
              use_silhouette=not args.no_sil,
-             textured_obj=args.textured_obj)
+             textured_obj=args.textured_obj,
+             field_mesh_res=args.field_mesh_res)
 
 
 if __name__ == "__main__":

@@ -50,3 +50,35 @@ class TestMarchingTetrahedra:
                                       band=0.3)
         r = np.linalg.norm(verts, axis=1)
         assert abs(r.mean() - 0.6) < 0.01
+
+
+class TestFieldMeshExtraction:
+    def test_demo_field_meshes(self):
+        """extract_field_meshes (the PIFu gen_mesh capability) produces
+        finite shell meshes from a random field."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from chore_tpu.cli.demo import extract_field_meshes
+        from chore_tpu.models import CHOREField, FieldConfig
+        from chore_tpu.recon.fitter import ReconFitter
+        from chore_tpu.smpl import SMPLH, synthetic_smplh
+        from chore_tpu.utils.meshio import octasphere
+        from tests.test_fit_e2e import FIT, SAMP, TINY
+
+        model = CHOREField(cfg=TINY)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 5)),
+                            jnp.zeros((1, 8, 3)), jnp.zeros((1, 2)))
+        smplh = SMPLH(synthetic_smplh())
+        tv, tf = octasphere(radius=0.15, subdiv=2)
+        fitter = ReconFitter(model, params, smplh, tv, tf, cfg=FIT,
+                             sampler_cfg=SAMP)
+        rng = np.random.RandomState(0)
+        images = rng.rand(1, 64, 64, 5).astype(np.float32)
+        cc = np.array([[1018.0, 779.0]], np.float32)
+        out = extract_field_meshes(fitter, images, cc, res=24, level=0.5)
+        for name in ("human", "object"):
+            fv, ff = out[name]
+            assert fv.ndim == 2 and fv.shape[1] == 3
+            assert np.isfinite(fv).all()

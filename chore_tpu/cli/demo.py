@@ -64,11 +64,12 @@ def extract_field_meshes(fitter, images, crop_center, res=128, level=0.01,
 def run_demo(cfg: ChoreConfig, seq_folder, obj_name, outpath="demo_out",
              save_name="demo", max_frames=None, use_silhouette=True,
              fit_cfg: FitConfig = None, sampler_cfg: SamplerConfig = None,
-             render_size=512, textured_obj=None, field_mesh_res=0):
+             render_size=512, textured_obj=None, field_mesh_res=0,
+             exp_root="experiments"):
     """textured_obj: optional path to a textured OBJ used as the object
     template; its texture shows up in the overlay renders (the reference's
     neural_renderer load_obj/texture path, load_obj.py:98-164)."""
-    model, params = load_trained(cfg)
+    model, params = load_trained(cfg, exp_root=exp_root)
     smplh = load_smplh()
     tex_data = None
     if textured_obj:
@@ -132,8 +133,8 @@ def run_demo(cfg: ChoreConfig, seq_folder, obj_name, outpath="demo_out",
             meshes_f = extract_field_meshes(
                 fitter, batch["images"], batch["crop_center"],
                 res=field_mesh_res)
-            for name, (fv, ff) in meshes_f.items():
-                save_ply(os.path.join(frame_out, f"{name}_field.ply"),
+            for head, (fv, ff) in meshes_f.items():
+                save_ply(os.path.join(frame_out, f"{head}_field.ply"),
                          fv, ff)
 
         # overlay rendering (reference demo.py:28-53)
@@ -176,6 +177,8 @@ def main():
     parser.add_argument("--field-mesh-res", type=int, default=0,
                         help="also marching-cube the UDF level sets into "
                         "{human,object}_field.ply at this grid resolution")
+    parser.add_argument("--exp-root", default="experiments",
+                        help="checkpoint search root")
     args = parser.parse_args()
     try:
         cfg = load_config(args.exp_name)
@@ -185,7 +188,8 @@ def main():
              args.save_name, args.max_frames,
              use_silhouette=not args.no_sil,
              textured_obj=args.textured_obj,
-             field_mesh_res=args.field_mesh_res)
+             field_mesh_res=args.field_mesh_res,
+             exp_root=args.exp_root)
 
 
 if __name__ == "__main__":

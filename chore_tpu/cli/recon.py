@@ -150,6 +150,8 @@ def main():
                         help="shard frame batches over all chips")
     parser.add_argument("--debug-viz", default=None,
                         help="write per-stage debug renders to this dir")
+    parser.add_argument("--exp-root", default="experiments",
+                        help="checkpoint search root")
     args = parser.parse_args()
     try:
         cfg = load_config(args.exp_name)
@@ -159,7 +161,7 @@ def main():
               coco=args.coco, obj_name=args.obj_name, start=args.start,
               end=args.end, batch_size=args.batch_size, redo=args.redo,
               tid=args.tid, data_parallel=args.data_parallel,
-              debug_viz=args.debug_viz)
+              debug_viz=args.debug_viz, exp_root=args.exp_root)
 
 
 if __name__ == "__main__":

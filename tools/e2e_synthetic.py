@@ -26,7 +26,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_scenes(root, n_frames, rng, obj_radius=0.18, mask_res=256):
+def build_scenes(root, n_frames, rng, obj_radius=0.18, mask_res=256,
+                 vary_object=False):
     """Synthetic frames: fixed body+object, tiny pose jitter; returns
     (npz paths, GT meshes of frame 0).
 
@@ -69,7 +70,15 @@ def build_scenes(root, n_frames, rng, obj_radius=0.18, mask_res=256):
         sv = np.asarray(smplh.verts(sp))[0]
         pelvis = np.asarray(smplh.pelvis(sp))[0]
         sv = sv + (np.array([0, 0, 2.2]) - pelvis)
-        ov, of = octasphere(radius=obj_radius, center=(0.45, 0.1, 2.25), subdiv=2)
+        if vary_object:
+            # per-frame object placement: the field must READ the mask
+            # channels to localize it (generalization test), instead of
+            # memorizing one fixed position
+            oc = (rng.uniform(0.25, 0.6), rng.uniform(-0.1, 0.3),
+                  rng.uniform(2.0, 2.4))
+        else:
+            oc = (0.45, 0.1, 2.25)
+        ov, of = octasphere(radius=obj_radius, center=oc, subdiv=2)
         out = sampler.boundary_sample_all(
             sv.astype(np.float32), smplh.faces, ov, of,
             sigmas=[0.08, 0.02, 0.003], ratios=[0.01, 0.49, 0.5],
@@ -150,6 +159,10 @@ def main():
     ap.add_argument("--num-stack", type=int, default=2)
     ap.add_argument("--img-size", type=int, default=256)
     ap.add_argument("--obj-radius", type=float, default=0.18)
+    ap.add_argument("--vary-object", action="store_true",
+                    help="random object placement per frame")
+    ap.add_argument("--holdout", action="store_true",
+                    help="exclude frame 0 from training (generalization)")
     args = ap.parse_args()
 
     import jax
@@ -164,9 +177,12 @@ def main():
     from chore_tpu.utils.meshio import sample_surface
 
     rng = np.random.RandomState(0)
-    paths, gt0, smplh = build_scenes(args.out, args.frames, rng, args.obj_radius)
+    paths, gt0, smplh = build_scenes(args.out, args.frames, rng,
+                                     args.obj_radius,
+                                     vary_object=args.vary_object)
+    train_paths = paths[1:] if args.holdout else paths
     model, params, cfg, losses = train_field(
-        paths, args.out, args.epochs, num_stack=args.num_stack,
+        train_paths, args.out, args.epochs, num_stack=args.num_stack,
         img_size=args.img_size)
 
     # reconstruct frame 0 with the trained weights

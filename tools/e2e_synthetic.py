@@ -79,6 +79,17 @@ def build_scenes(root, n_frames, rng, obj_radius=0.18, mask_res=256,
         else:
             oc = (0.45, 0.1, 2.25)
         ov, of = octasphere(radius=obj_radius, center=oc, subdiv=2)
+        npz = os.path.join(proc, f"t{i:04d}_k1_scale.npz")
+        if os.path.isfile(npz):
+            # resume: scene generation (boundary sampling + mask renders)
+            # dominates large --frames runs; geometry above is already
+            # re-derived deterministically for gt0
+            paths.append(npz)
+            rgb_file = os.path.join(frame_dir, "k1.color.jpg")
+            if gt0 is None:
+                gt0 = {"smpl": (sv, smplh.faces), "obj": (ov, of),
+                       "pose": pose, "rgb": rgb_file}
+            continue
         out = sampler.boundary_sample_all(
             sv.astype(np.float32), smplh.faces, ov, of,
             sigmas=[0.08, 0.02, 0.003], ratios=[0.01, 0.49, 0.5],

@@ -116,6 +116,31 @@ class TestGraftEntry:
 
         ge.dryrun_multichip(8)
 
+    def test_dryrun_subprocess_fallback(self):
+        """A parent seeing fewer than n devices must re-exec the payload in
+        a forced-CPU subprocess (the MULTICHIP_r01/r02 failure mode: an
+        in-process platform swap after backend init silently no-ops)."""
+        import re
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = {**os.environ}
+        # parent child: 1 CPU device only -> must take the subprocess path
+        env["XLA_FLAGS"] = re.sub(
+            r"--xla_force_host_platform_device_count=\d+", "",
+            env.get("XLA_FLAGS", "")).strip()
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.config.update('jax_platforms', 'cpu'); "
+             "assert len(jax.devices()) < 8; "
+             "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+            capture_output=True, text=True, timeout=600, cwd=repo, env=env)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "OK" in proc.stdout
+
 
 class TestFlopsEstimate:
     """Analytic MXU FLOP counter (utils/profiling.py flops_estimate)."""

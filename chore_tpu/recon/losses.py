@@ -208,22 +208,60 @@ def vertex_normals(verts, faces):
     return n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
 
 
-def collision_loss(smpl_verts, smpl_normals, obj_points):
-    """BVH-free penetration penalty.
+def collision_signed(smpl_verts, smpl_normals, obj_points, k=1):
+    """Per-point signed distance approximation to the SMPL surface.
 
-    For each object point, the signed distance to the tangent plane of its
-    nearest SMPL vertex: s = <p - v_nn, n_nn>. Points inside (s < 0) are
-    penalized by s^2. Nearest indices are non-differentiable (matching the
-    reference's no_grad BVH search, recon_fit_base.py:620-622); gradients
-    flow through both the object points and the SMPL surface.
+    k=1 (the default): signed distance to the tangent plane of the nearest
+    SMPL vertex — a discrete pseudonormal test. Validated against an exact
+    winding-number + BVH oracle on convex, concave (torus inner ring) and
+    thin-slab scenes in tests/test_collision_oracle.py: sign accuracy
+    0.97-0.999, penetration-depth correlation >= 0.97. k>1 combines the k
+    nearest planes with inverse-distance weights; measured WORSE than k=1
+    on every scene (averaging planes of differently-oriented neighbors
+    blurs the sign boundary), so it exists only for that measurement.
+    Nearest indices are non-differentiable (matching the reference's
+    no_grad BVH search, recon_fit_base.py:620-631); gradients flow through
+    both the object points and the SMPL surface.
+
+    Returns (B, No) signed values: negative = inside.
     """
-    # vmapped per-example 1-NN: one kernel launch with a batch grid dim,
-    # each example sweeping only its own verts
-    idx = jax.lax.stop_gradient(jax.vmap(
-        lambda q, r: nn_sqdist(q, r)[1]
-    )(obj_points, smpl_verts))  # (B, No)
-    v_nn = jnp.take_along_axis(smpl_verts, idx[..., None], axis=1)
-    n_nn = jnp.take_along_axis(smpl_normals, idx[..., None], axis=1)
-    signed = jnp.sum((obj_points - v_nn) * n_nn, axis=-1)  # (B, No)
+    def knn(q, r):
+        # expanded sqdist needs HIGHEST precision (distance cancellation,
+        # see CLAUDE.md); the (No, V) matrix lives only inside this
+        # stop_gradient forward — no backward copy is kept
+        d2 = (
+            jnp.sum(q * q, -1)[:, None]
+            + jnp.sum(r * r, -1)[None, :]
+            - 2.0 * jnp.matmul(q, r.T,
+                               precision=jax.lax.Precision.HIGHEST)
+        )
+        _, idx = jax.lax.top_k(-d2, k)
+        return idx  # (No, k)
+
+    if k == 1:
+        # fused Pallas 1-NN: never materializes the (No, V) matrix
+        idx = jax.vmap(lambda q, r: nn_sqdist(q, r)[1])(
+            obj_points, smpl_verts
+        )[..., None]
+    else:
+        idx = jax.vmap(knn)(obj_points, smpl_verts)  # (B, No, k)
+    idx = jax.lax.stop_gradient(idx)
+    v_nn = jnp.take_along_axis(
+        smpl_verts[:, :, None], idx[..., None], axis=1
+    )  # (B, No, k, 3)
+    n_nn = jnp.take_along_axis(smpl_normals[:, :, None], idx[..., None],
+                               axis=1)
+    rel = obj_points[:, :, None] - v_nn  # (B, No, k, 3)
+    plane = jnp.sum(rel * n_nn, axis=-1)  # (B, No, k)
+    w = 1.0 / (jnp.linalg.norm(rel, axis=-1) + 1e-6)
+    return jnp.sum(plane * w, axis=-1) / jnp.sum(w, axis=-1)
+
+
+def collision_loss(smpl_verts, smpl_normals, obj_points, k=1):
+    """Penetration penalty: mean s^2 over points inside the body
+    (s < 0 from collision_signed, oracle-validated); BVH-free stand-in
+    for the reference's torch-mesh-isect conic penetration field
+    (recon_fit_base.py:610-639)."""
+    signed = collision_signed(smpl_verts, smpl_normals, obj_points, k=k)
     pen = jnp.minimum(signed, 0.0)
     return jnp.mean(pen**2)

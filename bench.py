@@ -219,6 +219,167 @@ def bench_fit(jax, jnp, model, params):
     return time.time() - t0
 
 
+class _BenchTrainDataset:
+    """Synthetic release-shape training items, regenerated per index on the
+    loader workers (mimics real per-item decode cost; never trivially
+    cached, so the overlap measurement is honest)."""
+
+    B_KEYS = True
+
+    def __init__(self, n=64, img=512, npts=20000):
+        self.n, self.img, self.npts = n, img, npts
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx):
+        rng = np.random.RandomState(idx)
+        S, N = self.img, self.npts
+        return {
+            "images": rng.rand(S, S, 5).astype(np.float32),
+            "points": (rng.rand(N, 3) * [2, 2, 0.5] + [-1, -1, 1.95]).astype(
+                np.float32),
+            "crop_center": np.array([1018.0, 779.0], np.float32),
+            "df_h": (np.abs(rng.randn(N)) * 0.05).astype(np.float32),
+            "df_o": (np.abs(rng.randn(N)) * 0.05).astype(np.float32),
+            "parts": rng.randint(0, 14, (N,)).astype(np.int32),
+            "pca": np.tile(np.eye(3, dtype=np.float32), (N, 1, 1)),
+            "body_center": np.array([0.0, 0, 2.2], np.float32),
+            "obj_center": np.array([0.3, 0, 0.0], np.float32),
+        }
+
+
+def run_train_child(B=16, steps=5):
+    """Entry for the train-benchmark subprocess: release-shape train step
+    (512^2 x 5ch, num_stack 5, 20k points, bf16 encoder, Adam, batch 16 --
+    the reference's 4x15/GPU workload, trainer/trainer.py:76-111, on one
+    chip). Prints train_step_ms / train_imgs_per_sec / train_mfu plus a
+    loader-overlap ratio (steady-state step time iterating the real
+    prefetching DataLoader / step time on pre-staged batches; ~1.0 = input
+    pipeline fully overlapped with device compute)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    expect = os.environ.get("CHORE_BENCH_EXPECT_BACKEND")
+    if expect and jax.default_backend() != expect:
+        raise SystemExit(
+            f"train subprocess backend {jax.default_backend()!r} != parent "
+            f"{expect!r}; refusing to report a wrong-device number")
+
+    from chore_tpu.data.loader import DataLoader, collate
+    from chore_tpu.models import chore_losses
+
+    model, params = build_bench_model(jax, jnp)
+    cfg = model.cfg
+    tx = optax.adam(1e-3)
+    with jax.default_device(jax.devices("cpu")[0]):
+        opt_state = tx.init(params)
+    opt_state = jax.device_put(opt_state, jax.devices()[0])
+
+    def loss_fn(params, batch):
+        preds = model.apply(
+            params, batch["images"], batch["points"], batch["crop_center"]
+        )
+        return chore_losses(preds, batch, cfg)
+
+    def train_step(params, opt_state, batch):
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    ds = _BenchTrainDataset()
+    staged = [collate([ds[i * B + j] for j in range(B)]) for i in range(2)]
+
+    # calls 1-2 compile + pay the one-time donated-buffer relayout
+    # recompile (see .claude/skills/verify: never measure call 2)
+    for i in range(2):
+        params, opt_state, loss = step(params, opt_state, staged[i % 2])
+        float(loss)
+
+    t0 = time.time()
+    for i in range(steps):
+        params, opt_state, loss = step(params, opt_state, staged[i % 2])
+        float(loss)  # host readback = tunnel sync
+    step_s = (time.time() - t0) / steps
+
+    # analytic fwd+bwd+update matmul/conv FLOPs of the whole step
+    from chore_tpu.utils.profiling import flops_estimate
+
+    mfu = None
+    peak = _peak_flops(jax.devices()[0])
+    if peak is not None:
+        try:
+            flops = flops_estimate(train_step, params, opt_state, staged[0])
+            mfu = flops / step_s / peak
+        except Exception:
+            pass
+
+    # loader overlap: same steps driven by the real prefetching loader
+    loader = DataLoader(ds, batch_size=B, shuffle=False, num_workers=4,
+                        prefetch=2)
+    it = iter(loader)
+    params, opt_state, loss = step(params, opt_state, next(it))  # warm
+    float(loss)
+    t0 = time.time()
+    n_loader = 0
+    for batch in it:
+        params, opt_state, loss = step(params, opt_state, batch)
+        float(loss)
+        n_loader += 1
+        if n_loader >= steps:
+            break
+    loader_s = (time.time() - t0) / max(n_loader, 1)
+
+    result = {
+        "train_step_ms": round(step_s * 1e3, 1),
+        "train_imgs_per_sec": round(B / step_s, 2),
+        "train_mfu": round(mfu, 4) if mfu is not None else None,
+        "loader_overlap_ratio": round(loader_s / step_s, 3),
+    }
+    print("TRAIN_RESULT " + json.dumps(result))
+    return result
+
+
+def bench_train_guarded(timeout_s=None):
+    """Train benchmark in a subprocess with a hard timeout (same guard as
+    the fit section). Returns the result dict or None."""
+    import subprocess
+    import sys
+
+    import jax
+
+    timeout_s = timeout_s or float(
+        os.environ.get("CHORE_BENCH_TRAIN_TIMEOUT", "1800"))
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import bench; bench.run_train_child()"],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            env={**os.environ,
+                 "CHORE_BENCH_EXPECT_BACKEND": jax.default_backend()},
+        )
+    except subprocess.TimeoutExpired:
+        print("bench: train subprocess timed out", file=sys.stderr)
+        return None
+    if proc.returncode != 0:
+        tail = "\n".join((proc.stderr or "").splitlines()[-8:])
+        print(f"bench: train subprocess failed (rc={proc.returncode}):\n"
+              f"{tail}", file=sys.stderr)
+        return None
+    for line in (proc.stdout or "").splitlines():
+        if line.startswith("TRAIN_RESULT "):
+            try:
+                return json.loads(line[len("TRAIN_RESULT "):])
+            except ValueError:
+                return None
+    return None
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -232,15 +393,26 @@ def main():
     if os.environ.get("CHORE_BENCH_SKIP_FIT", "0") != "1":
         fit_sec = bench_fit_guarded()
 
-    baseline = 4.0e5  # reference-architecture estimate, pts/sec/GPU
+    train = None
+    if os.environ.get("CHORE_BENCH_SKIP_TRAIN", "0") != "1":
+        train = bench_train_guarded()
+    train = train or {}
+
+    baseline = 4.0e5  # measured-bound estimate, pts/sec/GPU (BASELINE.md)
     out = {
         "metric": "field_query_points_per_sec_per_chip",
         "value": round(pts_per_sec, 1),
         "unit": "points/sec",
         "vs_baseline": round(pts_per_sec / baseline, 2),
         "encoder_ms": round(encoder_ms, 2),
-        "encoder_mfu": round(encoder_mfu, 4) if encoder_mfu else None,
-        "fit_sec_per_image": round(fit_sec, 2) if fit_sec else None,
+        "encoder_mfu": (round(encoder_mfu, 4)
+                        if encoder_mfu is not None else None),
+        "fit_sec_per_image": round(fit_sec, 2) if fit_sec is not None
+        else None,
+        "train_step_ms": train.get("train_step_ms"),
+        "train_imgs_per_sec": train.get("train_imgs_per_sec"),
+        "train_mfu": train.get("train_mfu"),
+        "loader_overlap_ratio": train.get("loader_overlap_ratio"),
     }
     print(json.dumps(out))
 

@@ -69,13 +69,27 @@ class KinectFrameReader:
     """Frame discovery + color/depth loading
     (reference: sync_frame.py:15-107)."""
 
-    def __init__(self, seq, kinect_count=4, ext="jpg", check_image=True):
+    def __init__(self, seq, kinect_count=4, ext="jpg", check_image=True,
+                 empty=None):
         self.seq_path = seq.rstrip("/")
         self.ext = ext
         self.kinect_count = kinect_count
         self.seq_name = basename(self.seq_path)
         self.frames = self._discover(check_image)
         self.kids = list(range(kinect_count))
+        self.empty = empty  # path to an empty-room sequence for bkg removal
+
+    def prepare_bkgs(self):
+        """Per-kinect mean background depth from the empty-room sequence
+        (reference: sync_frame.py:107-112); None without one."""
+        if self.empty is None:
+            return None
+        return [get_seq_bkg(self.empty, k)
+                for k in range(self.kinect_count)]
+
+    @staticmethod
+    def remove_background(depth, bkg, tol=100):
+        return remove_background(depth, bkg, tol)
 
     def _discover(self, check_image):
         valid = []
@@ -224,8 +238,8 @@ class FrameDataReader(KinectFrameReader):
 
 
 class KinectCalib:
-    """Color-camera intrinsics + depth->pointcloud table
-    (reference: kinect_calib.py:13-88)."""
+    """Color-camera intrinsics + depth->pointcloud table + depth<->color
+    mappings (reference: kinect_calib.py:13-181)."""
 
     def __init__(self, calibration, pc_table):
         self.pc_table_ext = np.dstack(
@@ -238,6 +252,21 @@ class KinectCalib:
         self.calibration_matrix[1, 1] = color["fy"]
         self.calibration_matrix[:2, 2] = (color["cx"], color["cy"])
         self.dist_coeffs = np.asarray(color["opencv"][4:])
+        # depth<->color extrinsics (kinect_calib.py:19-27); identity for
+        # synthetic calibrations that omit them
+        d2c = calibration.get("depth_to_color")
+        c2d = calibration.get("color_to_depth")
+        self.depth2color_R = (np.asarray(d2c["rotation"]).reshape(3, 3)
+                              if d2c else np.eye(3))
+        self.depth2color_t = (np.asarray(d2c["translation"])
+                              if d2c else np.zeros(3))
+        self.color2depth_R = (np.asarray(c2d["rotation"]).reshape(3, 3)
+                              if c2d else np.eye(3))
+        self.color2depth_t = (np.asarray(c2d["translation"])
+                              if c2d else np.zeros(3))
+
+    def undistort(self, img):
+        return cv2.undistort(img, self.calibration_matrix, self.dist_coeffs)
 
     def project_points(self, points):
         """Distortion-aware projection into the color image (N, 2)."""
@@ -246,12 +275,124 @@ class KinectCalib:
             self.calibration_matrix, self.dist_coeffs,
         )[0].reshape(-1, 2)
 
-    def dmap2pc(self, depth):
-        """Depth map (mm) -> (N, 3) point cloud via the precomputed table."""
+    def dmap2pc(self, depth, return_mask=False):
+        """Depth map (mm) -> (N, 3) point cloud via the precomputed table
+        (kinect_calib.py:77-90)."""
         d = depth.astype(np.float64) / 1000.0
         d[depth == 0] = np.nan
         pc = self.pc_table_ext * d[..., None]
-        return pc[np.isfinite(pc[:, :, 0])]
+        valid = np.isfinite(pc[:, :, 0])
+        if return_mask:
+            return pc[valid], valid
+        return pc[valid]
+
+    @staticmethod
+    def interpolate_depth(depth_im):
+        """Fill depth holes (zeros) by 1-D linear interpolation over the
+        flattened map (kinect_calib.py:91-100, the PROX recipe)."""
+        flat = depth_im.ravel().astype(np.float64)
+        zero = flat == 0.0
+        if zero.any() and (~zero).any():
+            flat[zero] = np.interp(np.flatnonzero(zero),
+                                   np.flatnonzero(~zero), flat[~zero])
+        return flat.reshape(depth_im.shape)
+
+    def pc2color(self, pointcloud):
+        """Depth-camera points -> color-image pixel coordinates (N, 2)
+        (kinect_calib.py:102-110)."""
+        pc_color = pointcloud @ self.depth2color_R.T + self.depth2color_t
+        return self.project_points(pc_color)
+
+    def valid_pixmask(self, color_pixels):
+        """(N,) bool: pixel inside the color image
+        (kinect_calib.py:123-128)."""
+        w, h = self.image_size
+        return ((color_pixels[:, 0] >= 0) & (color_pixels[:, 0] < w)
+                & (color_pixels[:, 1] >= 0) & (color_pixels[:, 1] < h))
+
+    def pc2color_valid(self, pointcloud):
+        """(pixels, points) with out-of-image projections removed
+        (kinect_calib.py:112-121)."""
+        pix = self.pc2color(pointcloud)
+        mask = self.valid_pixmask(pix)
+        return pix[mask], pointcloud[mask]
+
+    def color_to_pc(self, colorpts, pc_depth, projected_color_pc=None,
+                    k=4, std=1.0):
+        """Color-pixel coordinates -> interpolated 3D points: Gaussian
+        kNN blend over the projected point cloud
+        (kinect_calib.py:130-146)."""
+        from scipy.spatial import cKDTree
+
+        if projected_color_pc is None:
+            projected_color_pc = self.pc2color(pc_depth)
+        dists, inds = cKDTree(projected_color_pc).query(colorpts, k=k)
+        dists = dists.reshape(-1, k)  # scipy squeezes the k=1 axis
+        inds = inds.reshape(-1, k)
+        w = np.exp(-dists / (2.0 * std**2))
+        w = w / w.sum(axis=1, keepdims=True)
+        return (pc_depth[inds.reshape(-1)].reshape(-1, k, 3)
+                * w[:, :, None]).sum(axis=1)
+
+    def get_pc_colors(self, pointcloud, color_frame,
+                      projected_color_pc=None):
+        """Per-point RGB in [0, 1] sampled from the color image with
+        bivariate-spline interpolation (kinect_calib.py:148-163)."""
+        from scipy.interpolate import RectBivariateSpline
+
+        if projected_color_pc is None:
+            projected_color_pc = self.pc2color(pointcloud)
+        colors = np.ones_like(pointcloud, dtype=np.float64)
+        for i in range(3):
+            spline = RectBivariateSpline(
+                np.arange(color_frame.shape[0]),
+                np.arange(color_frame.shape[1]),
+                color_frame[:, :, i])
+            colors[:, i] = spline(projected_color_pc[:, 1],
+                                  projected_color_pc[:, 0], grid=False)
+        return np.clip(colors / 255.0, 0.0, 1.0)
+
+    def pc2dmap(self, points):
+        """Reproject a point cloud to a dense color-frame depth map via
+        nearest-grid interpolation (kinect_calib.py:165-176)."""
+        from scipy import interpolate
+
+        p2d = self.project_points(points)
+        cw, ch = self.image_size
+        px, py = np.meshgrid(np.linspace(0, cw - 1, cw),
+                             np.linspace(0, ch - 1, ch))
+        depth = interpolate.griddata(p2d, points[:, 2], (px, py),
+                                     method="nearest")
+        dmap = np.zeros((ch, cw))
+        dmap[py.astype(int), px.astype(int)] = depth
+        return dmap
+
+    def dmap2colorpc(self, color, depth):
+        """Depth map in the color camera -> (points, per-point colors)
+        (kinect_calib.py:178-181)."""
+        pc, mask = self.dmap2pc(depth, return_mask=True)
+        return pc, color[mask]
+
+
+def get_seq_bkg(seq, kid, start=0):
+    """Mean depth over all frames of one kinect in an (empty-room) sequence
+    (reference: sync_frame.py:135-146)."""
+    depths = []
+    for frame in sorted(os.listdir(seq))[start:]:
+        depth = cv2.imread(join(seq, frame, f"k{kid}.depth.png"),
+                           cv2.IMREAD_ANYDEPTH)
+        if depth is not None:
+            depths.append(depth)
+    return np.stack(depths, axis=-1).mean(axis=-1)
+
+
+def remove_background(depth, bkg, tol=100):
+    """Zero out pixels within tol (mm) of the background depth
+    (reference: sync_frame.py:117-121, 149-153). Operates in place like
+    the reference and also returns the array."""
+    diff = np.abs(depth - bkg)
+    depth[~(diff >= tol)] = 0
+    return depth
 
 
 def load_intrinsics(intrinsic_folder, kids):

@@ -186,3 +186,106 @@ class TestCalibTransform:
         v = np.array([[1.0, 2.0, 3.0]])
         flipped = KinectTransform.flip_verts(v)
         np.testing.assert_allclose(flipped, [[-1.0, 2.0, 3.0]])
+
+
+class TestDepthUtils:
+    """Background removal + depth<->color mappings added for full L3
+    coverage (reference: sync_frame.py:107-154, kinect_calib.py:90-181)."""
+
+    def _calib(self, seq, d2c_t=(0.05, 0.0, 0.0)):
+        """Calib with a nontrivial depth->color extrinsic."""
+        t = KinectTransform(seq)
+        calib = t.intrinsics[0]
+        calib.depth2color_t = np.asarray(d2c_t, np.float64)
+        calib.color2depth_t = -calib.depth2color_t
+        return calib
+
+    def test_background_removal(self, seq, tmp_path):
+        from chore_tpu.behave.readers import (KinectFrameReader,
+                                              get_seq_bkg,
+                                              remove_background)
+
+        # empty-room sequence: 2 frames of flat 3000 mm depth
+        empty = tmp_path / "empty"
+        for t in ("t0001.000", "t0002.000"):
+            (empty / t).mkdir(parents=True)
+            for k in range(2):
+                cv2.imwrite(str(empty / t / f"k{k}.depth.png"),
+                            np.full((48, 64), 3000, np.uint16))
+        bkg = get_seq_bkg(str(empty), 0)
+        np.testing.assert_allclose(bkg, 3000.0)
+
+        depth = np.full((48, 64), 3000, np.uint16)
+        depth[10:20, 10:20] = 2200  # a person 0.8 m in front
+        depth[30, 30] = 2950        # within tol: background jitter
+        out = remove_background(depth, bkg, tol=100)
+        assert (out[10:20, 10:20] == 2200).all()
+        assert out[30, 30] == 0
+        assert out[0, 0] == 0
+
+        reader = KinectFrameReader(seq, kinect_count=2, empty=str(empty))
+        bkgs = reader.prepare_bkgs()
+        assert len(bkgs) == 2
+        np.testing.assert_allclose(bkgs[0], 3000.0)
+        assert KinectFrameReader(seq, kinect_count=2).prepare_bkgs() is None
+
+    def test_interpolate_depth_fills_holes(self, seq):
+        calib = self._calib(seq)
+        depth = np.full((8, 8), 2.0)
+        depth[3, 3] = 0.0
+        depth[5, 6] = 0.0
+        out = calib.interpolate_depth(depth)
+        assert (out > 0).all()
+        np.testing.assert_allclose(out, 2.0)
+
+    def test_pc2color_roundtrip(self, seq):
+        """dmap2pc -> pc2color -> color_to_pc recovers the 3D points."""
+        calib = self._calib(seq)
+        depth = np.zeros((48, 64), np.uint16)
+        depth[10:40:3, 10:60:3] = 2000
+        pc, mask = calib.dmap2pc(depth, return_mask=True)
+        assert mask.sum() == len(pc)
+
+        pix = calib.pc2color(pc)
+        assert pix.shape == (len(pc), 2)
+        # offset camera shifts pixels by fx*tx/z = 50*0.05/2 = 1.25
+        base = calib.project_points(pc)
+        np.testing.assert_allclose(pix[:, 0] - base[:, 0], 1.25, atol=1e-6)
+
+        recovered = calib.color_to_pc(pix, pc, k=1)
+        np.testing.assert_allclose(recovered, pc, atol=1e-9)
+
+    def test_pc2color_valid_filters(self, seq):
+        calib = self._calib(seq)
+        pts = np.array([[0.0, 0.0, 2.0],     # center: valid
+                        [10.0, 0.0, 2.0]])   # far off-image
+        pix, kept = calib.pc2color_valid(pts)
+        assert len(pix) == 1 and len(kept) == 1
+        np.testing.assert_allclose(kept[0], pts[0])
+
+    def test_get_pc_colors(self, seq):
+        calib = self._calib(seq, d2c_t=(0.0, 0.0, 0.0))
+        img = np.zeros((48, 64, 3), np.uint8)
+        img[:, :, 0] = np.linspace(0, 255, 64, dtype=np.uint8)[None, :]
+        pts = np.array([[0.0, 0.0, 2.0]])  # projects to (32, 24)
+        colors = calib.get_pc_colors(pts, img)
+        assert colors.shape == (1, 3)
+        assert abs(colors[0, 0] - img[24, 32, 0] / 255.0) < 0.02
+        assert colors[0, 1] == 0.0 and colors[0, 2] == 0.0
+
+    def test_pc2dmap_and_dmap2colorpc(self, seq):
+        calib = self._calib(seq, d2c_t=(0.0, 0.0, 0.0))
+        depth = np.zeros((48, 64), np.uint16)
+        depth[20:30, 25:40] = 1800
+        pc = calib.dmap2pc(depth)
+        dmap = calib.pc2dmap(pc)
+        assert dmap.shape == (48, 64)
+        # nearest-grid reprojection restores the depth where points exist
+        np.testing.assert_allclose(dmap[24, 30], 1.8, atol=1e-6)
+
+        color = np.full((48, 64, 3), 120, np.uint8)
+        d2 = np.zeros((48, 64), np.uint16)
+        d2[24, 32] = 1500
+        pts, cols = calib.dmap2colorpc(color, d2)
+        assert pts.shape == (1, 3) and cols.shape == (1, 3)
+        assert (cols == 120).all()

@@ -292,7 +292,10 @@ def run_train_child(B=16, steps=5):
     step = jax.jit(train_step, donate_argnums=(0, 1))
 
     ds = _BenchTrainDataset()
-    staged = [collate([ds[i * B + j] for j in range(B)]) for i in range(2)]
+    # device-resident batches: the step-time figure measures compute, not
+    # the host->HBM copy (which prefetch_to_device overlaps in training)
+    staged = [jax.device_put(collate([ds[i * B + j] for j in range(B)]),
+                             jax.devices()[0]) for i in range(2)]
 
     # calls 1-2 compile + pay the one-time donated-buffer relayout
     # recompile (see .claude/skills/verify: never measure call 2)
@@ -319,9 +322,13 @@ def run_train_child(B=16, steps=5):
             pass
 
     # loader overlap: same steps driven by the real prefetching loader
+    # with async host->device staging (the training configuration,
+    # train/trainer.py train_model)
+    from chore_tpu.data.loader import prefetch_to_device
+
     loader = DataLoader(ds, batch_size=B, shuffle=False, num_workers=4,
                         prefetch=2)
-    it = iter(loader)
+    it = prefetch_to_device(iter(loader), size=2)
     params, opt_state, loss = step(params, opt_state, next(it))  # warm
     float(loss)
     t0 = time.time()

@@ -20,7 +20,7 @@ from chore_tpu.train import Trainer
 
 
 def launch_train(cfg: ChoreConfig, exp_root="experiments", epochs=None,
-                 ck_period_min=60.0, profile_dir=None):
+                 ck_period_min=60.0, profile_dir=None, resume="latest"):
     import jax
 
     init_distributed()
@@ -73,7 +73,8 @@ def launch_train(cfg: ChoreConfig, exp_root="experiments", epochs=None,
             batch.pop("path", None)
             yield batch
 
-    trainer.train_model(train_batches, epochs or cfg.num_epochs, val_batches)
+    trainer.train_model(train_batches, epochs or cfg.num_epochs, val_batches,
+                        resume=resume)
     return trainer
 
 
@@ -86,13 +87,18 @@ def main():
     parser.add_argument("--profile-dir", default=None,
                         help="write a jax.profiler device trace of early "
                              "training steps here")
+    parser.add_argument("--resume", choices=["latest", "best"],
+                        default="latest",
+                        help="checkpoint to resume from: latest (no lost "
+                             "progress) or best (reference semantics: roll "
+                             "back to the val-min checkpoint)")
     args = parser.parse_args()
     try:
         cfg = load_config(args.exp_name)
     except FileNotFoundError:
         cfg = ChoreConfig(exp_name=args.exp_name)
     launch_train(cfg, args.exp_root, args.epochs, args.ck_period_min,
-                 profile_dir=args.profile_dir)
+                 profile_dir=args.profile_dir, resume=args.resume)
 
 
 if __name__ == "__main__":

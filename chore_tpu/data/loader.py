@@ -149,3 +149,52 @@ class DataLoader:
                 yield batch
         finally:
             stop.set()
+
+
+def prefetch_to_device(iterator, size=2, transfer=None):
+    """Overlap host->device transfer with device compute.
+
+    A background thread stages upcoming batches on device (double/triple
+    buffering via ``transfer``, default ``jax.device_put``); the consumer
+    always finds its next batch already resident, so the step dispatch
+    never waits on the host->HBM copy. The TPU analogue of the reference's
+    pin_memory + non_blocking ``.cuda()`` (base_data.py:49-61) — jax
+    transfers are async, but a jitted call's argument transfer serializes
+    with its dispatch unless staged ahead like this. Pass
+    ``transfer=lambda b: shard_batch(b, mesh)`` to stage sharded global
+    arrays for SPMD training (multi-host assembly happens on the host side
+    of the background thread, which is safe).
+
+    Exceptions in ``transfer`` or the source iterator are re-raised at the
+    consumer's next pull.
+    """
+    if transfer is None:
+        import jax
+
+        transfer = jax.device_put
+    q: queue.Queue = queue.Queue(maxsize=size)
+    stop = threading.Event()
+    END, ERR = object(), object()
+
+    def produce():
+        try:
+            for batch in iterator:
+                if stop.is_set():
+                    return
+                q.put(transfer(batch))
+            q.put(END)
+        except BaseException as e:  # noqa: BLE001 - re-raised at consumer
+            q.put((ERR, e))
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is END:
+                return
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is ERR:
+                raise item[1]
+            yield item
+    finally:
+        stop.set()

@@ -116,14 +116,19 @@ def shard_batch(batch, mesh, axis="data"):
     global batch.
     """
     s = data_sharding(mesh, axis)
-    if process_count() > 1:
-        return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(
-                s, np.asarray(x)
-            ),
-            batch,
-        )
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+    def place(x):
+        # idempotent: a leaf already staged with this sharding (e.g. by
+        # data.loader.prefetch_to_device) passes through untouched — the
+        # multi-host path would otherwise pull the global array back to
+        # host and mis-assemble it as a local shard
+        if isinstance(x, jax.Array) and x.sharding == s:
+            return x
+        if process_count() > 1:
+            return jax.make_array_from_process_local_data(s, np.asarray(x))
+        return jax.device_put(x, s)
+
+    return jax.tree_util.tree_map(place, batch)
 
 
 def local_batch_slice(global_batch_size, count=None, index=None):

@@ -174,10 +174,20 @@ class Trainer:
         )
         return name
 
-    def load(self):
-        """Resume from the best/latest checkpoint; like the reference, the LR
-        is re-derived from the schedule, not restored (trainer.py:247-265)."""
-        path = ckpt.find_checkpoint(self.exp_dir, prefer="latest")
+    def load(self, resume="latest"):
+        """Resume from a checkpoint; like the reference, the LR is
+        re-derived from the schedule, not restored (trainer.py:247-265).
+
+        resume='latest' (default): newest checkpoint by training time —
+        a crash/preemption resume loses no progress. resume='best':
+        reference semantics (trainer.py:219-230, find_best_checkpoint) —
+        roll back to the val_min pointer when one exists, else latest;
+        long real-data runs that want reference-exact rollback-on-resume
+        behavior should pass this."""
+        if resume not in ("latest", "best"):
+            raise ValueError(f"resume must be 'latest' or 'best': {resume!r}")
+        prefer = "val_min" if resume == "best" else "latest"
+        path = ckpt.find_checkpoint(self.exp_dir, prefer=prefer)
         if path is None:
             return False
         template = jax.device_get(
@@ -188,18 +198,28 @@ class Trainer:
         self.opt_state = replicate(state["opt_state"], self.mesh)
         return True
 
-    def train_model(self, train_batches_fn, num_epochs, val_batches_fn=None):
-        """train_batches_fn(epoch) -> iterable of host batches."""
+    def train_model(self, train_batches_fn, num_epochs, val_batches_fn=None,
+                    resume="latest"):
+        """train_batches_fn(epoch) -> iterable of host batches.
+        resume: checkpoint selection on restart, see ``load``."""
         from chore_tpu.utils.profiling import trace
 
-        self.load()
+        from chore_tpu.data.loader import prefetch_to_device
+
+        self.load(resume=resume)
         last_ck = time.time()
         self._seg_start = time.time()
         profiling = False
         while self.epoch < num_epochs:
             lr = self.set_epoch_lr(self.epoch)
             epoch_losses = []
-            for batch in train_batches_fn(self.epoch):
+            # stage sharded batches ahead of the step so host->HBM copies
+            # overlap device compute (train_step's shard_batch is then a
+            # no-op on the already-committed arrays)
+            batches = prefetch_to_device(
+                iter(train_batches_fn(self.epoch)),
+                transfer=lambda b: shard_batch(b, self.mesh))
+            for batch in batches:
                 # device trace of steps 2..2+profile_steps (skip compiles)
                 if (self.profile_dir and not profiling
                         and self.global_step == 2 and is_main_process()):

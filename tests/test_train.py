@@ -99,6 +99,31 @@ class TestTrainer:
             jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1))]
         assert all(chex)
 
+    def test_resume_best_vs_latest(self, rng, tmp_path):
+        """resume='best' rolls back to the val_min checkpoint (reference
+        trainer.py:219-230); resume='latest' keeps the newest (our
+        default, PARITY.md-documented deviation now behind a flag)."""
+        model = CHOREField(cfg=TINY)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 5)),
+            jnp.zeros((1, 8, 3)), jnp.zeros((1, 2)))
+        tr = Trainer(model, params, str(tmp_path), mesh=make_mesh(),
+                     ck_period_min=1e9)
+        tr.epoch, tr.training_time = 2, 100.0
+        best_name = tr.save()
+        update_val_min(str(tmp_path), 2, 1.0, best_name)
+        # train further, save a later (worse-val) checkpoint
+        tr.train_step(make_batch(rng, img=32))
+        tr.epoch, tr.training_time = 5, 200.0
+        tr.save()
+
+        assert tr.load(resume="best")
+        assert tr.epoch == 2
+        assert tr.load(resume="latest")
+        assert tr.epoch == 5
+        with pytest.raises(ValueError):
+            tr.load(resume="newest")
+
     def test_val_min_pointer(self, tmp_path):
         d = str(tmp_path)
         assert update_val_min(d, 1, 10.0, "ck1")

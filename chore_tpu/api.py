@@ -124,7 +124,8 @@ class Reconstructor:
             result["obj_params"], points=self.fitter.template_verts))[:n_real]
         result = {
             k: (jax.tree_util.tree_map(lambda x: np.asarray(x)[:n_real], v)
-                if k in ("smpl_params", "obj_params", "obj_R") else v)
+                if k in ("smpl_params", "obj_params", "obj_R", "pclouds")
+                else v)
             for k, v in result.items()
         }
         return {

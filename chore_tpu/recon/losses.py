@@ -181,8 +181,12 @@ def contact_loss(smpl_verts, obj_points, df_hum_o, df_obj_h,
     # invalid anyway -- valid pairs have partners on both sides)
     dh_ok = jnp.where(d_h < 0.5 * _BIG, d_h, 0.0)
     do_ok = jnp.where(d_o < 0.5 * _BIG, d_o, 0.0)
-    lx = jnp.einsum("bn,bnp->bp", dh_ok, hm.astype(d_h.dtype))
-    ly = jnp.einsum("bn,bnp->bp", do_ok, om.astype(d_o.dtype))
+    # HIGHEST: these lower to dot_general, and a single bf16 pass would
+    # truncate the squared distances feeding early_stop_rel comparisons
+    lx = jnp.einsum("bn,bnp->bp", dh_ok, hm.astype(d_h.dtype),
+                    precision=jax.lax.Precision.HIGHEST)
+    ly = jnp.einsum("bn,bnp->bp", do_ok, om.astype(d_o.dtype),
+                    precision=jax.lax.Precision.HIGHEST)
     pair = lx / jnp.maximum(nx, 1) + ly / jnp.maximum(ny, 1)
     pair = jnp.where(valid, pair, 0.0)
     n_pairs = jnp.sum(valid)

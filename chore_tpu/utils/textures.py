@@ -191,7 +191,10 @@ def sample_face_textures(texture, uv_faces, texture_size=8):
     # texels that sit half a pixel outside the center grid)
     px = jnp.clip(p[..., 0] * W - 0.5, 0, W - 1)
     py = jnp.clip(p[..., 1] * H - 0.5, 0, H - 1)
-    g = jnp.stack([2.0 * px / (W - 1) - 1.0, 2.0 * py / (H - 1) - 1.0], -1)
+    # max(.,1): a 1-pixel-wide/tall texture would divide by zero (the
+    # clip above already pins the coordinate for that degenerate case)
+    g = jnp.stack([2.0 * px / max(W - 1, 1) - 1.0,
+                   2.0 * py / max(H - 1, 1) - 1.0], -1)
     F = uv.shape[0]
     out = bilinear_sample(texture[None], g.reshape(1, -1, 2))[0]
     return out.reshape(F, texture_size, texture_size, 3)
@@ -241,7 +244,8 @@ def sample_uv_colors(texture, uv):
     uv = np.asarray(uv, np.float32).reshape(-1, 2)
     px = np.clip(uv[:, 0] * W - 0.5, 0, W - 1)
     py = np.clip(uv[:, 1] * H - 0.5, 0, H - 1)
-    g = np.stack([2.0 * px / (W - 1) - 1.0, 2.0 * py / (H - 1) - 1.0], -1)
+    g = np.stack([2.0 * px / max(W - 1, 1) - 1.0,
+                  2.0 * py / max(H - 1, 1) - 1.0], -1)
     out = np.asarray(bilinear_sample(
         jnp.asarray(texture, jnp.float32)[None],
         jnp.asarray(g, jnp.float32)[None])[0])

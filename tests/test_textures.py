@@ -68,6 +68,17 @@ class TestFaceTextures:
         np.testing.assert_allclose(ft[0, 0, 0], [1, 0, 0], atol=1e-5)
         np.testing.assert_allclose(ft[0, 0, 3], [0, 1, 0], atol=1e-5)
 
+    def test_degenerate_1px_texture(self):
+        """1-pixel-wide/tall textures must not NaN (division by W-1=0)."""
+        uv_faces = np.array([[[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]]],
+                            np.float32)
+        for shape in ((1, 1, 3), (1, 5, 3), (5, 1, 3)):
+            tex = np.full(shape, 0.25, np.float32)
+            ft = np.asarray(T.sample_face_textures(tex, uv_faces,
+                                                   texture_size=2))
+            assert np.isfinite(ft).all(), shape
+            np.testing.assert_allclose(ft, 0.25, atol=1e-6)
+
     def test_atlas_roundtrip(self):
         """create_texture_image inverse: pack patches, re-sample, recover."""
         rng = np.random.RandomState(0)

@@ -133,6 +133,44 @@ class TestTrainer:
         assert any(f.startswith("val_min=2") for f in files)
 
 
+class TestShardingScaling:
+    """Per-device batch math at every mesh width (companion to
+    tools/scaling_curve.py, which measures the timing trend)."""
+
+    @pytest.mark.parametrize("width", [1, 2, 4, 8])
+    def test_per_device_batch(self, rng, width):
+        mesh = make_mesh(devices=jax.devices()[:width])
+        B = 8
+        batch = make_batch(rng, B=B)
+        sharded = shard_batch(batch, mesh)
+        for k, v in sharded.items():
+            shards = v.addressable_shards
+            assert len(shards) == width, k
+            for s in shards:
+                assert s.data.shape[0] == B // width, (k, s.data.shape)
+        # the global loss must not depend on the mesh width
+        model = CHOREField(cfg=TINY)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 5)),
+            jnp.zeros((1, 8, 3)), jnp.zeros((1, 2)))
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from chore_tpu.models import chore_losses
+        from chore_tpu.parallel import replicate
+
+        def loss_fn(p, b):
+            preds = model.apply(p, b["images"], b["points"],
+                                b["crop_center"])
+            return chore_losses(preds, b, TINY)[0]
+
+        f = jax.jit(loss_fn, in_shardings=(NamedSharding(mesh, P()),
+                                           NamedSharding(mesh, P("data"))))
+        loss = float(f(replicate(params, mesh), sharded))
+        if not hasattr(type(self), "_ref_loss"):
+            type(self)._ref_loss = loss
+        assert np.isclose(loss, type(self)._ref_loss, rtol=1e-4)
+
+
 class TestGraftEntry:
     def test_dryrun_multichip_8(self):
         import sys

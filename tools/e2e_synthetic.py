@@ -51,6 +51,32 @@ def build_scenes(root, n_frames, rng, obj_radius=0.18, mask_res=256,
     sampler = BoundarySampler(seed=0)
     proc = os.path.join(root, "processed")
     os.makedirs(proc, exist_ok=True)
+
+    # resume guard: npz files are only reusable if they were generated
+    # with the SAME scene parameters — otherwise training data and the
+    # re-derived frame-0 GT silently diverge (e.g. a --vary-object run
+    # on top of a fixed-object cache would score against mismatched GT).
+    # Parameter change or missing manifest -> regenerate from scratch.
+    import glob as _glob
+    import json as _json
+
+    manifest = {"obj_radius": obj_radius, "vary_object": bool(vary_object),
+                "mask_res": mask_res}
+    mpath = os.path.join(proc, "manifest.json")
+    stale = _glob.glob(os.path.join(proc, "*.npz"))
+    if stale:
+        old = None
+        if os.path.isfile(mpath):
+            with open(mpath) as f:
+                old = _json.load(f)
+        if old != manifest:
+            print(f"e2e_synthetic: scene parameters changed "
+                  f"({old} -> {manifest}); regenerating {len(stale)} npz")
+            for f in stale:
+                os.remove(f)
+    with open(mpath, "w") as f:
+        _json.dump(manifest, f)
+
     paths, gt0 = [], None
 
     def sil_mask(verts, faces):

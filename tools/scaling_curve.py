@@ -75,6 +75,19 @@ step = jax.jit(train_step, in_shardings=(rep, rep,
 params = replicate(params, mesh)
 opt_state = replicate(opt_state, mesh)
 batch = shard_batch(batch, mesh)
+
+# per-device FLOPs of the compiled SPMD program: the sharding-correctness
+# signal. With the global batch fixed, this must fall ~1/width; a width-
+# independent value means every device computes the full batch.
+flops = None
+try:
+    ca = step.lower(params, opt_state, batch).compile().cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    flops = float(ca.get("flops", float("nan")))
+except Exception:
+    pass
+
 for _ in range(2):  # compile + settle
     params, opt_state, loss = step(params, opt_state, batch)
     float(loss)
@@ -85,7 +98,10 @@ for _ in range({steps}):
 dt = (time.time() - t0) / {steps}
 print("SCALE_RESULT " + json.dumps(
     {{"devices": n, "step_ms": round(dt * 1e3, 1),
-      "per_device_batch": B // n, "loss": round(float(loss), 3)}}))
+      "per_device_batch": B // n,
+      "per_device_gflops": (round(flops / 1e9, 2)
+                            if flops is not None else None),
+      "loss": round(float(loss), 3)}}))
 """
 
 
@@ -125,13 +141,18 @@ def main():
         r = run_width(n, args.batch, args.steps)
         results.append(r)
         print(json.dumps(r))
-    losses = {r["loss"] for r in results}
+    losses = [r["loss"] for r in results]
     speedup = results[0]["step_ms"] / results[-1]["step_ms"]
+    g0, gN = results[0]["per_device_gflops"], results[-1]["per_device_gflops"]
     print(json.dumps({
         "summary": "train-step scaling, fixed global batch "
-                   f"{args.batch}, virtual CPU mesh",
-        "speedup_1_to_max": round(speedup, 2),
-        "losses_agree": len(losses) == 1,
+                   f"{args.batch}, virtual CPU mesh (all widths share the "
+                   "same physical cores: wall time cannot speed up here; "
+                   "per-device FLOPs is the sharding-correctness signal)",
+        "wall_speedup_1_to_max": round(speedup, 2),
+        "per_device_flops_ratio_1_to_max": (
+            round(g0 / gN, 2) if g0 and gN else None),
+        "losses_agree_rel": max(losses) / min(losses) - 1.0 < 1e-4,
     }))
 
 

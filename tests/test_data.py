@@ -151,3 +151,36 @@ class TestProcessWorkers:
         n2 = sum(len(b["idx"]) for b in loader)
         assert n2 == 17
         loader.close()
+
+
+class TestPrefetchToDevice:
+    def test_stages_and_preserves_order(self):
+        import jax
+
+        from chore_tpu.data.loader import prefetch_to_device
+
+        batches = [{"x": np.full((2, 3), i, np.float32)} for i in range(5)]
+        out = list(prefetch_to_device(iter(batches), size=2))
+        assert len(out) == 5
+        for i, b in enumerate(out):
+            assert isinstance(b["x"], jax.Array)
+            assert float(b["x"][0, 0]) == i
+
+    def test_custom_transfer_and_error_propagation(self):
+        from chore_tpu.data.loader import prefetch_to_device
+
+        calls = []
+
+        def transfer(b):
+            calls.append(b)
+            return b * 2
+
+        out = list(prefetch_to_device(iter([1, 2, 3]), transfer=transfer))
+        assert out == [2, 4, 6] and calls == [1, 2, 3]
+
+        def bad(_):
+            raise RuntimeError("boom")
+
+        it = prefetch_to_device(iter([1]), transfer=bad)
+        with pytest.raises(RuntimeError, match="boom"):
+            next(it)

@@ -342,8 +342,12 @@ class ReconFitter:
         the device count (callers pad partial batches; see cli/recon.py).
         """
         key = key if key is not None else jax.random.PRNGKey(0)
+        # host copies for the silhouette ROI prep (cv2): reading masks back
+        # from the device would cost a ~2 MB/example round trip mid-pipeline
+        images_np = np.asarray(images)
+        crop_center_np = np.asarray(crop_center, np.float32)
         images = jnp.asarray(images)
-        crop_center = jnp.asarray(np.asarray(crop_center, np.float32))
+        crop_center = jnp.asarray(crop_center_np)
         if self.mesh is not None:
             from chore_tpu.parallel import replicate, shard_batch
 
@@ -354,14 +358,17 @@ class ReconFitter:
             key = replicate(key, self.mesh)
         k_gen, k_smpl, k_obj = jax.random.split(key, 3)
 
+        # stages dispatch back-to-back WITHOUT host syncs: encode ->
+        # generate -> smpl chain -> object chain chain on device, and the
+        # only mid-pipeline host work (cv2 silhouette ROI prep) overlaps
+        # the SMPL chain. Timer phases therefore measure dispatch, not
+        # device time; use jax.profiler for device breakdowns.
         with self.timer.phase("encode"):
             feats, tmpx = self.generator.encode(images)
-            jax.block_until_ready(tmpx)
         with self.timer.phase("generate_pclouds"):
             pc = self.generator.generate_from_feats(
                 feats, tmpx, crop_center, k_gen
             )
-            jax.block_until_ready(pc["object"]["points"])
 
         if monitor is not None:
             monitor.snapshot("pclouds", pclouds={
@@ -369,9 +376,9 @@ class ReconFitter:
                 "object": np.asarray(pc["object"]["points"][0]),
             })
 
-        human_t = np.asarray(pc["human"]["centers"][:, :3]).copy()
-        human_t[:, 2] = self.cfg.z0  # fixed depth
-        human_t = jnp.asarray(human_t)
+        # fixed-depth init stays on device: a host readback of the
+        # generated centers here would serialize the pipeline
+        human_t = pc["human"]["centers"][:, :3].at[:, 2].set(self.cfg.z0)
         mocap_poses = jnp.asarray(np.asarray(mocap_poses, np.float32))
         mocap_betas = jnp.asarray(np.asarray(mocap_betas, np.float32))
         kpts2d = jnp.asarray(np.asarray(kpts2d, np.float32))
@@ -379,30 +386,27 @@ class ReconFitter:
             from chore_tpu.parallel import shard_batch
 
             s = shard_batch(
-                {"ht": human_t, "mp": mocap_poses, "mb": mocap_betas,
-                 "kp": kpts2d}, self.mesh,
+                {"mp": mocap_poses, "mb": mocap_betas, "kp": kpts2d},
+                self.mesh,
             )
-            human_t, mocap_poses = s["ht"], s["mp"]
-            mocap_betas, kpts2d = s["mb"], s["kp"]
+            mocap_poses, mocap_betas, kpts2d = s["mp"], s["mb"], s["kp"]
 
         with self.timer.phase("optimize_smpl"):
             smpl_params, scale = self._jit_fit_smpl(
                 self.params, feats, tmpx, crop_center,
                 mocap_poses, mocap_betas, human_t, kpts2d, k_smpl,
             )
-            jax.block_until_ready(smpl_params)
-        if monitor is not None:
-            monitor.snapshot("smpl", meshes=[(
-                np.asarray(self.smplh.verts(smpl_params))[0],
-                np.asarray(self.smplh.faces), monitor.SMPL_COLOR)])
 
+        # host-side cv2 ROI prep runs while the device crunches the SMPL
+        # chain (the dispatch above is async); uses the host copies of the
+        # inputs, so no device readback is needed
         sil_data = None
         if use_silhouette:
             with self.timer.phase("silhouette_prep"):
                 sil_data = SilhouetteLossROI(
-                    np.asarray(images[..., 3]), np.asarray(images[..., 4]),
+                    images_np[..., 3], images_np[..., 4],
                     self.template_verts, self.template_faces,
-                    np.asarray(crop_center),
+                    crop_center_np,
                     rend_size=self.cfg.sil_rend_size,
                     crop_size=self.cfg.crop_size,
                     net_input=self.cfg.net_in_size,
@@ -411,6 +415,12 @@ class ReconFitter:
                     from chore_tpu.parallel import shard_batch
 
                     sil_data = shard_batch(sil_data, self.mesh)
+
+        jax.block_until_ready(smpl_params)
+        if monitor is not None:
+            monitor.snapshot("smpl", meshes=[(
+                np.asarray(self.smplh.verts(smpl_params))[0],
+                np.asarray(self.smplh.faces), monitor.SMPL_COLOR)])
         with self.timer.phase("optimize_object"):
             obj_params = self._jit_fit_object(
                 self.params, feats, tmpx, crop_center, smpl_params,

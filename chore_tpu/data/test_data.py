@@ -88,11 +88,14 @@ class TestImagePrep:
         bottom_right = np.array([w, h]) + top_left
         kw, kh = KINECT_SIZE
         new_size = np.maximum([kw, kh], bottom_right).astype(int)
+        # float64 like the reference's np.zeros (test_data.py:144-147):
+        # keeping uint8 here would make the downstream cv2.resize round,
+        # flipping mask pixels at the 0.5 threshold and so changing which
+        # RGB boundary pixels the composition zeroes
         if img.ndim == 3:
-            new_img = np.zeros((new_size[1], new_size[0], img.shape[2]),
-                               img.dtype)
+            new_img = np.zeros((new_size[1], new_size[0], img.shape[2]))
         else:
-            new_img = np.zeros((new_size[1], new_size[0]), img.dtype)
+            new_img = np.zeros((new_size[1], new_size[0]))
         x1y1 = np.maximum(0, top_left)
         x2y2 = np.minimum([kw, kh], bottom_right)
         sx1 = max(0, -top_left[0])

@@ -152,3 +152,46 @@ class TestPrepParity:
         got = np.asarray(our_item["kpts"], np.float64)
         np.testing.assert_allclose(got[:, :2], pxy, atol=1e-2)
         np.testing.assert_allclose(got[:, 2], kpts[:, 2], atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def ref_item_mc(ref_item, tmp_path_factory):
+    """Reference TestData with use_mean_center=True (the in-the-wild /
+    coco path: pad image so the crop center lands on the BEHAVE training
+    mean, ref test_data.py:127-161)."""
+    _, rgb = ref_item
+    from data.test_data import TestData
+
+    tmp = tmp_path_factory.mktemp("prep_parity_mc")
+    cwd = os.getcwd()
+    os.chdir(tmp)
+    try:
+        (tmp / "PATHS.yml").write_text(
+            f"CODE: {REF}\nSMPL_ASSETS_ROOT: {REF}/assets\n")
+        td = TestData([rgb], batch_size=1, num_workers=0,
+                      image_size=(512, 512), use_mean_center=True)
+        item = td.get_item(0)
+    finally:
+        os.chdir(cwd)
+    return item, rgb
+
+
+class TestPrepParityMeanCenter:
+    def test_mean_center_path(self, ref_item_mc, tmp_path_factory):
+        from chore_tpu.data import TestImagePrep
+
+        ref, rgb = ref_item_mc
+        prep = TestImagePrep(
+            image_size=(512, 512), use_mean_center=True,
+            crop_info_dir=str(tmp_path_factory.mktemp("ci_mc")))
+        ours = prep.prepare(rgb)
+        np.testing.assert_array_equal(
+            np.asarray(ref["crop_center"], np.float64),
+            np.asarray(ours["crop_center"], np.float64))  # mean center
+        np.testing.assert_array_equal(
+            np.asarray(ref["old_crop_center"], np.float64),
+            np.asarray(ours["old_crop_center"], np.float64))
+        ref_img = np.asarray(ref["images"]).transpose(1, 2, 0)
+        diff = np.abs(ref_img - np.asarray(ours["images"]))
+        assert diff.max() < 1e-5, (
+            f"mean-center image mismatch: max {diff.max()}")

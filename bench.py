@@ -224,8 +224,6 @@ class _BenchTrainDataset:
     loader workers (mimics real per-item decode cost; never trivially
     cached, so the overlap measurement is honest)."""
 
-    B_KEYS = True
-
     def __init__(self, n=64, img=512, npts=20000):
         self.n, self.img, self.npts = n, img, npts
 
@@ -291,7 +289,10 @@ def run_train_child(B=16, steps=5):
 
     step = jax.jit(train_step, donate_argnums=(0, 1))
 
-    ds = _BenchTrainDataset()
+    # sized so the loader-overlap pass below yields exactly warm + `steps`
+    # batches — the overlap ratio must average over the same number of
+    # steps as the pre-staged measurement
+    ds = _BenchTrainDataset(n=(steps + 1) * B)
     # device-resident batches: the step-time figure measures compute, not
     # the host->HBM copy (which prefetch_to_device overlaps in training)
     staged = [jax.device_put(collate([ds[i * B + j] for j in range(B)]),
@@ -339,7 +340,10 @@ def run_train_child(B=16, steps=5):
         n_loader += 1
         if n_loader >= steps:
             break
-    loader_s = (time.time() - t0) / max(n_loader, 1)
+    assert n_loader == steps, (
+        f"loader yielded {n_loader} measurable batches, expected {steps}; "
+        "resize _BenchTrainDataset so both averages cover the same steps")
+    loader_s = (time.time() - t0) / n_loader
 
     result = {
         "train_step_ms": round(step_s * 1e3, 1),

@@ -46,7 +46,7 @@ def load_trained(cfg: ChoreConfig, exp_root="experiments"):
     if path is None:
         print(f"WARNING: no checkpoint under {exp_dir}; using random init")
         return model, params
-    state, epoch, _ = load_checkpoint(path, {"params": params})
+    state, epoch, _, _ = load_checkpoint(path, {"params": params})
     print(f"loaded checkpoint {path} (epoch {epoch})")
     return model, jax.device_put(state["params"], jax.devices()[0])
 

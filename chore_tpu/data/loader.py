@@ -176,15 +176,30 @@ def prefetch_to_device(iterator, size=2, transfer=None):
     stop = threading.Event()
     END, ERR = object(), object()
 
+    def put_or_stop(item):
+        # never block indefinitely on a full queue: a consumer that
+        # abandons the generator (exception mid-epoch) sets ``stop`` from
+        # its finally, and the producer must observe it even while the
+        # queue is full — otherwise the thread parks in q.put forever,
+        # pinning staged device batches and the source loader's workers
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def produce():
         try:
             for batch in iterator:
                 if stop.is_set():
                     return
-                q.put(transfer(batch))
-            q.put(END)
+                if not put_or_stop(transfer(batch)):
+                    return
+            put_or_stop(END)
         except BaseException as e:  # noqa: BLE001 - re-raised at consumer
-            q.put((ERR, e))
+            put_or_stop((ERR, e))
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()

@@ -416,8 +416,12 @@ class ReconFitter:
 
                     sil_data = shard_batch(sil_data, self.mesh)
 
-        jax.block_until_ready(smpl_params)
         if monitor is not None:
+            # only the monitor needs smpl_params materialized here; the
+            # object chain is ordered by its device-side data dependency,
+            # so blocking unconditionally would re-introduce the mid-stage
+            # host sync this pipeline removed
+            jax.block_until_ready(smpl_params)
             monitor.snapshot("smpl", meshes=[(
                 np.asarray(self.smplh.verts(smpl_params))[0],
                 np.asarray(self.smplh.faces), monitor.SMPL_COLOR)])

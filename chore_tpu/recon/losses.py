@@ -257,7 +257,12 @@ def collision_signed(smpl_verts, smpl_normals, obj_points, k=1):
                                axis=1)
     rel = obj_points[:, :, None] - v_nn  # (B, No, k, 3)
     plane = jnp.sum(rel * n_nn, axis=-1)  # (B, No, k)
-    w = 1.0 / (jnp.linalg.norm(rel, axis=-1) + 1e-6)
+    if k == 1:
+        # the inverse-distance weights cancel at k=1 but their norm(rel)
+        # has a NaN VJP at rel=0 (an object point bitwise-equal to its
+        # nearest vertex) — skip them entirely on the production path
+        return plane[..., 0]
+    w = 1.0 / (jnp.sqrt(jnp.sum(rel * rel, axis=-1) + 1e-12) + 1e-6)
     return jnp.sum(plane * w, axis=-1) / jnp.sum(w, axis=-1)
 
 

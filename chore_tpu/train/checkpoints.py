@@ -29,7 +29,7 @@ def checkpoint_name(training_time):
     return f"checkpoint_{h}h:{m}m:{s}s_{training_time}.ckpt"
 
 
-def save_checkpoint(ckpt_dir, state, training_time, epoch):
+def save_checkpoint(ckpt_dir, state, training_time, epoch, global_step=0):
     """state: dict pytree {params, opt_state}; returns the file name."""
     os.makedirs(ckpt_dir, exist_ok=True)
     name = checkpoint_name(training_time)
@@ -40,6 +40,7 @@ def save_checkpoint(ckpt_dir, state, training_time, epoch):
         "state": state,
         "epoch": np.asarray(epoch),
         "training_time": np.asarray(training_time),
+        "global_step": np.asarray(global_step),
     }
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(payload))
@@ -73,17 +74,25 @@ def find_checkpoint(exp_dir, prefer="val_min"):
 
 
 def load_checkpoint(path, state_template):
-    """Restore {state, epoch, training_time} from a checkpoint file."""
+    """Restore (state, epoch, training_time, global_step). A checkpoint
+    written before global_step entered the payload restores with
+    global_step=0 (the old behavior) rather than failing."""
     with open(path, "rb") as f:
-        payload = serialization.from_bytes(
-            {
-                "state": state_template,
-                "epoch": np.asarray(0),
-                "training_time": np.asarray(0.0),
-            },
-            f.read(),
-        )
-    return payload["state"], int(payload["epoch"]), float(payload["training_time"])
+        raw = f.read()
+    template = {
+        "state": state_template,
+        "epoch": np.asarray(0),
+        "training_time": np.asarray(0.0),
+        "global_step": np.asarray(0),
+    }
+    try:
+        payload = serialization.from_bytes(template, raw)
+    except (KeyError, ValueError):
+        template.pop("global_step")
+        payload = serialization.from_bytes(template, raw)
+        payload["global_step"] = np.asarray(0)
+    return (payload["state"], int(payload["epoch"]),
+            float(payload["training_time"]), int(payload["global_step"]))
 
 
 def update_val_min(exp_dir, epoch, val_loss, ck_file):

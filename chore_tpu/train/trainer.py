@@ -171,6 +171,7 @@ class Trainer:
             jax.device_get(state),
             self.training_time,
             self.epoch,
+            global_step=self.global_step,
         )
         return name
 
@@ -193,7 +194,8 @@ class Trainer:
         template = jax.device_get(
             {"params": self.params, "opt_state": self.opt_state}
         )
-        state, self.epoch, self.training_time = ckpt.load_checkpoint(path, template)
+        (state, self.epoch, self.training_time,
+         self.global_step) = ckpt.load_checkpoint(path, template)
         self.params = replicate(state["params"], self.mesh)
         self.opt_state = replicate(state["opt_state"], self.mesh)
         return True
@@ -247,9 +249,11 @@ class Trainer:
                         self._validate_and_save(val_batches_fn)
                         last_ck = time.time()
             self.epoch += 1
+            # ONE batched readback for the whole epoch: float() per scalar
+            # would pay a host round trip per training step here
             self.logger.log(
                 self.global_step, epoch=self.epoch,
-                epoch_loss=(float(np.mean([float(l) for l in epoch_losses]))
+                epoch_loss=(float(np.mean(jax.device_get(epoch_losses)))
                             if epoch_losses else 0.0))
         self._validate_and_save(val_batches_fn)
 

@@ -184,3 +184,31 @@ class TestPrefetchToDevice:
         it = prefetch_to_device(iter([1]), transfer=bad)
         with pytest.raises(RuntimeError, match="boom"):
             next(it)
+
+    def test_abandoned_consumer_unblocks_producer(self):
+        """A consumer that closes the generator mid-stream (exception in
+        the training loop) must release the producer thread even while the
+        queue is full — otherwise it parks in q.put forever, pinning the
+        staged batches and the source loader's workers."""
+        import threading
+        import time
+
+        from chore_tpu.data.loader import prefetch_to_device
+
+        produced = []
+        producer_thread = []
+
+        def transfer(b):
+            producer_thread.append(threading.current_thread())
+            produced.append(b)
+            return b
+
+        it = prefetch_to_device(iter(range(100)), size=2, transfer=transfer)
+        assert next(it) == 0
+        it.close()  # consumer abandons; queue is full at this point
+        deadline = time.time() + 5.0
+        t = producer_thread[0]
+        while t.is_alive() and time.time() < deadline:
+            time.sleep(0.05)
+        assert not t.is_alive(), "producer thread still blocked after close"
+        assert len(produced) < 100  # it stopped early, not after draining

@@ -124,6 +124,43 @@ class TestTrainer:
         with pytest.raises(ValueError):
             tr.load(resume="newest")
 
+    def test_resume_restores_global_step(self, rng, tmp_path):
+        """global_step survives save/load: a resumed run must continue the
+        metrics timeline (and not re-trigger the one-shot profiler trace)
+        instead of folding the step counter back to 0."""
+        model = CHOREField(cfg=TINY)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 5)),
+            jnp.zeros((1, 8, 3)), jnp.zeros((1, 2)))
+        tr = Trainer(model, params, str(tmp_path), mesh=make_mesh(),
+                     ck_period_min=1e9)
+        tr.train_step(make_batch(rng, img=32))
+        tr.train_step(make_batch(rng, img=32))
+        assert tr.global_step == 2
+        tr.save()
+        tr.global_step = 0
+        assert tr.load()
+        assert tr.global_step == 2
+
+    def test_load_checkpoint_without_global_step(self, tmp_path):
+        """Checkpoints written before global_step entered the payload
+        still load (global_step falls back to 0)."""
+        from flax import serialization
+
+        from chore_tpu.train.checkpoints import (checkpoint_name,
+                                                 load_checkpoint)
+
+        state = {"w": np.arange(3, dtype=np.float32)}
+        legacy = {"state": state, "epoch": np.asarray(7),
+                  "training_time": np.asarray(33.0)}
+        path = str(tmp_path / checkpoint_name(33.0))
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(legacy))
+        got, epoch, t, step = load_checkpoint(
+            path, {"w": np.zeros(3, np.float32)})
+        assert epoch == 7 and t == 33.0 and step == 0
+        assert np.allclose(got["w"], state["w"])
+
     def test_val_min_pointer(self, tmp_path):
         d = str(tmp_path)
         assert update_val_min(d, 1, 10.0, "ck1")

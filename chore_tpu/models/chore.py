@@ -44,6 +44,9 @@ class FieldConfig:
     z0: float = 2.2
     out_dist: float = 5.0  # df for points outside the image (chore.py:65)
     clamp_thres: float = 0.1
+    # slope of the df loss above clamp_thres; 0.0 reproduces the
+    # reference's hard torch.clamp gradient exactly (chore.py:239-241)
+    df_leak: float = 0.05
     remat: bool = False  # rematerialize hourglass stacks (training memory)
     # weights for [df_h, df_o, parts, pca, obj_center, smpl_center]
     # (reference: chore.py:62)
@@ -195,7 +198,7 @@ def chore_losses(preds_list, batch, cfg: FieldConfig):
     mask_o = (batch["df_o"] < 0.05).astype(jnp.float32)  # (B, N)
     mask_h = (batch["df_h"] < 0.05).astype(jnp.float32)
 
-    def leaky_clip(x, c, leak=0.05):
+    def leaky_clip(x, c, leak=cfg.df_leak):
         """clip(x, max=c) with a small slope above c. A hard clip (the
         reference, chore.py:239-241 with torch.clamp on the prediction)
         has ZERO gradient above the threshold: a df channel that

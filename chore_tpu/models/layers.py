@@ -18,8 +18,11 @@ conv_init = nn.initializers.normal(stddev=0.02)
 
 def group_norm(num_channels, name=None):
     # GroupNorm(32, C) (reference: net_util.py:336-337); clamp groups for
-    # narrow layers (the reference never instantiates those with group norm)
-    return nn.GroupNorm(num_groups=min(32, num_channels), name=name)
+    # narrow layers (the reference never instantiates those with group norm).
+    # epsilon matches torch's 1e-5 default (flax defaults to 1e-6) so
+    # forward AND gradient parity vs reference checkpoints is exact.
+    return nn.GroupNorm(num_groups=min(32, num_channels), epsilon=1e-5,
+                        name=name)
 
 
 class ConvBlock(nn.Module):

@@ -20,7 +20,8 @@ from chore_tpu.train import Trainer
 
 
 def launch_train(cfg: ChoreConfig, exp_root="experiments", epochs=None,
-                 ck_period_min=60.0, profile_dir=None, resume="latest"):
+                 ck_period_min=60.0, profile_dir=None, resume="latest",
+                 from_torch=None):
     import jax
 
     init_distributed()
@@ -35,6 +36,12 @@ def launch_train(cfg: ChoreConfig, exp_root="experiments", epochs=None,
         base_lr=cfg.learning_rate, milestones=tuple(cfg.milestones),
         ck_period_min=ck_period_min, profile_dir=profile_dir,
     )
+    if from_torch is not None:
+        # weights + Adam moments + epoch from the reference's .tar; a
+        # NATIVE checkpoint in exp_dir still wins below (crash re-resume)
+        unused = trainer.import_torch(from_torch)
+        print(f"imported reference checkpoint {from_torch} "
+              f"(epoch {trainer.epoch}, {len(unused)} unused torch keys)")
 
     train_paths, val_paths = DataPaths.load_splits(cfg.split_file)
     shard_idx, shard_cnt = jax.process_index(), jax.process_count()
@@ -92,13 +99,18 @@ def main():
                         help="checkpoint to resume from: latest (no lost "
                              "progress) or best (reference semantics: roll "
                              "back to the val-min checkpoint)")
+    parser.add_argument("--from-torch", default=None, metavar="TAR",
+                        help="continue training from a reference torch "
+                             "checkpoint_*.tar (imports weights, Adam "
+                             "moments and epoch)")
     args = parser.parse_args()
     try:
         cfg = load_config(args.exp_name)
     except FileNotFoundError:
         cfg = ChoreConfig(exp_name=args.exp_name)
     launch_train(cfg, args.exp_root, args.epochs, args.ck_period_min,
-                 profile_dir=args.profile_dir, resume=args.resume)
+                 profile_dir=args.profile_dir, resume=args.resume,
+                 from_torch=args.from_torch)
 
 
 if __name__ == "__main__":

@@ -121,3 +121,75 @@ def load_torch_checkpoint(path, params_template):
     data = torch.load(path, map_location="cpu")
     sd = data.get("model_state_dict", data) if isinstance(data, dict) else data
     return convert_state_dict(sd, params_template)
+
+
+def _strip_ddp(sd):
+    return {k[len("module."):] if k.startswith("module.") else k: v
+            for k, v in sd.items()}
+
+
+def _parameter_names(sd):
+    """Model state-dict keys in ``model.parameters()`` order.
+
+    torch.optim indexes parameters by their position in the iterable the
+    optimizer was constructed with — ``model.parameters()`` in the
+    reference (trainer/trainer.py:35). That order is the state-dict
+    (registration) order with duplicate tensors removed: the only shared
+    tensor in CHORE is ConvBlock's ``bn4``, re-registered as
+    ``downsample.0`` (reference: model/net_util.py:357-371), and CHORE
+    registers no buffers, so dropping the ``downsample.0`` alias keys
+    reproduces the parameter order exactly (pinned by
+    tests/test_torch_import.py::TestOptimizerImport).
+    """
+    return [k for k in sd if ".downsample.0." not in k]
+
+
+def convert_optimizer_state(data, params_template):
+    """Map a reference checkpoint's torch Adam ``optimizer_state_dict``
+    onto optax adam moments (reference checkpoint layout:
+    trainer/trainer.py:186-206; Adam ctor trainer.py:35).
+
+    Args:
+      data: the loaded ``.tar`` dict holding ``model_state_dict`` (needed
+        for the index -> name mapping) and ``optimizer_state_dict``.
+      params_template: target flax params pytree.
+
+    Returns:
+      (mu, nu, count, missing): ``exp_avg`` / ``exp_avg_sq`` pytrees shaped
+      like ``params_template``, the global step count (max over params —
+      optax keeps one count where torch keeps one per param), and the
+      torch parameter names that had no Adam state (zero-initialized;
+      DDP(find_unused_parameters=True) leaves never-used params without
+      grads and torch.optim.Adam then never creates state for them).
+    """
+    sd = _strip_ddp(data["model_state_dict"])
+    opt = data["optimizer_state_dict"]
+    names = _parameter_names(sd)
+    idx_order = [i for g in opt["param_groups"] for i in g["params"]]
+    if len(idx_order) != len(names):
+        raise ValueError(
+            f"optimizer tracks {len(idx_order)} params but the model state "
+            f"dict has {len(names)} parameter entries — architecture "
+            "mismatch or unexpected buffers")
+
+    def _np(v):
+        return np.asarray(
+            v.detach().cpu().numpy() if hasattr(v, "detach") else v
+        )
+
+    mu_sd, nu_sd, missing, steps = {}, {}, [], [0]
+    for name, idx in zip(names, idx_order):
+        st = opt["state"].get(idx)
+        if st is None:
+            missing.append(name)
+            z = np.zeros(_np(sd[name]).shape, np.float32)
+            mu_sd[name], nu_sd[name] = z, z
+        else:
+            mu_sd[name] = _np(st["exp_avg"])
+            nu_sd[name] = _np(st["exp_avg_sq"])
+            steps.append(int(_np(st["step"])))
+    # moments transform exactly like their parameters (elementwise stats),
+    # so the weight converter maps them onto the flax tree
+    mu, _ = convert_state_dict(mu_sd, params_template)
+    nu, _ = convert_state_dict(nu_sd, params_template)
+    return mu, nu, max(steps), missing

@@ -102,6 +102,7 @@ class Trainer:
             opt = optax.rmsprop
         else:
             raise ValueError(optimizer)
+        self.optimizer_name = optimizer
         self.tx = optax.inject_hyperparams(opt)(learning_rate=base_lr)
         self.params = replicate(params, self.mesh)
         self.opt_state = replicate(self.tx.init(params), self.mesh)
@@ -199,6 +200,49 @@ class Trainer:
         self.params = replicate(state["params"], self.mesh)
         self.opt_state = replicate(state["opt_state"], self.mesh)
         return True
+
+    def import_torch(self, path):
+        """Resume training FROM a reference torch checkpoint: model weights
+        AND the Adam moments (reference checkpoint layout:
+        trainer/trainer.py:186-206), so continued training follows the
+        reference's trajectory instead of re-warming-up the optimizer from
+        zero moments. Restores epoch and cumulative training time; the LR
+        is re-derived from the schedule, exactly as the reference's own
+        resume does (reference: trainer/trainer.py:247-265).
+
+        Returns the torch keys that were not consumed (non-parameter
+        buffers etc.)."""
+        import torch
+
+        from chore_tpu.train import torch_import as ti
+
+        data = torch.load(path, map_location="cpu")
+        template = jax.device_get(self.params)
+        params, unused = ti.convert_state_dict(
+            data["model_state_dict"], template)
+        opt_state = self.tx.init(params)
+        if "optimizer_state_dict" in data:
+            if self.optimizer_name != "adam":
+                raise ValueError(
+                    "optimizer-state import is only defined for Adam "
+                    f"(trainer built with {self.optimizer_name!r})")
+            mu, nu, count, missing = ti.convert_optimizer_state(
+                data, template)
+            if missing and is_main_process():
+                print(f"torch Adam state missing for {len(missing)} params "
+                      f"(never stepped); zero-initialized: {missing[:3]}…")
+            # inject_hyperparams wraps the adam chain: splice the moments
+            # into its ScaleByAdamState (first element of the chain state)
+            inner = opt_state.inner_state
+            adam_s = inner[0]._replace(
+                count=jnp.asarray(count, jnp.int32), mu=mu, nu=nu)
+            opt_state = opt_state._replace(
+                inner_state=(adam_s,) + tuple(inner[1:]))
+        self.params = replicate(params, self.mesh)
+        self.opt_state = replicate(opt_state, self.mesh)
+        self.epoch = int(data.get("epoch", 0))
+        self.training_time = float(data.get("training_time", 0.0))
+        return unused
 
     def train_model(self, train_batches_fn, num_epochs, val_batches_fn=None,
                     resume="latest"):

@@ -234,14 +234,16 @@ class _BenchTrainDataset:
         rng = np.random.RandomState(idx)
         S, N = self.img, self.npts
         return {
-            "images": rng.rand(S, S, 5).astype(np.float32),
+            # uint8, as the real training dataset ships it (the model
+            # normalizes integer images on device; 4x smaller transfer)
+            "images": rng.randint(0, 256, (S, S, 5)).astype(np.uint8),
             "points": (rng.rand(N, 3) * [2, 2, 0.5] + [-1, -1, 1.95]).astype(
                 np.float32),
             "crop_center": np.array([1018.0, 779.0], np.float32),
             "df_h": (np.abs(rng.randn(N)) * 0.05).astype(np.float32),
             "df_o": (np.abs(rng.randn(N)) * 0.05).astype(np.float32),
             "parts": rng.randint(0, 14, (N,)).astype(np.int32),
-            "pca": np.tile(np.eye(3, dtype=np.float32), (N, 1, 1)),
+            "pca": np.eye(3, dtype=np.float32),  # compact per-image form
             "body_center": np.array([0.0, 0, 2.2], np.float32),
             "obj_center": np.array([0.3, 0, 0.0], np.float32),
         }
@@ -327,8 +329,12 @@ def run_train_child(B=16, steps=5):
     # train/trainer.py train_model)
     from chore_tpu.data.loader import prefetch_to_device
 
+    # process workers: the synthetic items are pure-numpy RNG work that
+    # holds the GIL; thread workers would serialize against the dispatch
+    # thread and misreport the overlap (real npz/cv2 datasets mostly
+    # release the GIL, but worker_type is the config knob either way)
     loader = DataLoader(ds, batch_size=B, shuffle=False, num_workers=4,
-                        prefetch=2)
+                        prefetch=2, worker_type="process")
     it = prefetch_to_device(iter(loader), size=2)
     params, opt_state, loss = step(params, opt_state, next(it))  # warm
     float(loss)

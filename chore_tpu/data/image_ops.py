@@ -109,3 +109,17 @@ def compose_rgbm3(obj_mask, person_mask, rgb):
     comb = (person_mask > 0.5) | (obj_mask > 0.5)
     rgb = rgb * comb[..., None]
     return np.dstack([rgb, person_mask, obj_mask]).astype(np.float32)
+
+
+def compose_rgbm3_u8(obj_mask, person_mask, rgb):
+    """uint8 variant of ``compose_rgbm3`` for host->device transport.
+
+    The float path divides cv2's uint8 crop/resize output by 255, so every
+    channel is exactly k/255-quantized; shipping the uint8 ``k`` and
+    normalizing on device (``CHOREField`` accepts integer images) is
+    bitwise-lossless and cuts the batch transfer 4x — the training
+    input-pipeline bottleneck on remote-device backends. Threshold 127
+    matches the float path's ``> 0.5`` (k/255 > 0.5 <=> k >= 128)."""
+    comb = (person_mask > 127) | (obj_mask > 127)
+    rgb = rgb * comb[..., None].astype(np.uint8)
+    return np.dstack([rgb, person_mask, obj_mask]).astype(np.uint8)

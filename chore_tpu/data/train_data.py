@@ -96,27 +96,33 @@ class BehaveTrainData:
             dfs_o.append(data["dist_o"].item()[key][choice])
             parts.append(data["parts"].item()[key][choice])
         points = np.concatenate(points, 0).astype(np.float32)
-        N = points.shape[0]
 
         body_center = data["smpl_center"].astype(np.float32)
         assert abs(body_center[2] - self.z0) < 1e-5, (
             f"invalid smpl center {body_center}"
         )
         obj_center = data["obj_center"].astype(np.float32) - body_center
+        # per-image GT, shipped compact; chore_losses broadcasts over the
+        # point axis (the reference tiles to (3,3,N), train_data.py:94-103)
         pca = np.asarray(data["pca_axis"], np.float32)  # (3, 3)
         return {
             "points": points,
             "df_h": np.concatenate(dfs_h, 0).astype(np.float32),
             "df_o": np.concatenate(dfs_o, 0).astype(np.float32),
             "parts": np.concatenate(parts, 0).astype(np.int32),
-            "pca": np.tile(pca[None], (N, 1, 1)),
+            "pca": pca,
             "body_center": body_center,
             "obj_center": obj_center,
         }
 
     def prepare_image_crop(self, data, flip, rng=None):
         """Crop 1200^2 around the mask-union bbox center, resize to 512^2,
-        compose RGBM3 (reference: train_data.py:115-149)."""
+        compose RGBM3 (reference: train_data.py:115-149).
+
+        Emits uint8 (the quantization cv2's uint8 resize already imposed);
+        ``CHOREField`` normalizes integer images to [0,1] on device, so the
+        per-batch host->device transfer is 4x smaller with bitwise-identical
+        training math (see image_ops.compose_rgbm3_u8)."""
         rgb_file = str(data["image_file"])
         person_mask, obj_mask = iops.load_masks(rgb_file, flip)
         bmin, bmax = iops.masks2bbox([person_mask, obj_mask])
@@ -127,9 +133,9 @@ class BehaveTrainData:
         )
         rgb = iops.load_rgb(rgb_file, flip, self.aug_blur, rng)
         rgb = iops.resize(iops.crop(rgb, center, self.crop_size),
-                          self.img_size) / 255.0
+                          self.img_size)
         pm = iops.resize(iops.crop(person_mask, center, self.crop_size),
-                         self.img_size) / 255.0
+                         self.img_size)
         om = iops.resize(iops.crop(obj_mask, center, self.crop_size),
-                         self.img_size) / 255.0
-        return iops.compose_rgbm3(om, pm, rgb), center
+                         self.img_size)
+        return iops.compose_rgbm3_u8(om, pm, rgb), center

@@ -41,6 +41,22 @@ class TestImageOps:
         assert out[2, 2, 0] == 1.0
         assert out[2, 2, 3] == 1.0  # person channel
 
+    def test_compose_rgbm3_u8_matches_float_path(self):
+        """uint8 transport is bitwise-lossless: normalizing the uint8
+        composition reproduces the float composition of the /255 inputs
+        exactly, including fractional (resized) mask edges around the
+        0.5 threshold."""
+        rng = np.random.RandomState(3)
+        rgb = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+        pm = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+        om = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+        pm[0, 0], pm[0, 1] = 127, 128  # straddle the threshold
+        want = iops.compose_rgbm3(om / 255.0, pm / 255.0, rgb / 255.0)
+        got = iops.compose_rgbm3_u8(om, pm, rgb)
+        assert got.dtype == np.uint8
+        np.testing.assert_array_equal(
+            got.astype(np.float32) / np.float32(255.0), want)
+
     def test_resize_checks_aspect(self):
         img = np.zeros((10, 20), np.float32)
         with pytest.raises(AssertionError):

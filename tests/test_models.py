@@ -104,6 +104,24 @@ class TestCHOREField:
         assert p["parts"].shape == (1, 16, 14)
         assert p["centers"].shape == (1, 16, 6)
 
+    def test_uint8_images_match_float(self, field_model, rng):
+        """uint8 input (the training transport) is normalized on device and
+        must reproduce the float /255 path bitwise."""
+        model, params = field_model
+        img_u8 = rng.randint(0, 256, (1, 64, 64, 5)).astype(np.uint8)
+        points = jnp.asarray(
+            (rng.rand(1, 16, 3) * 0.5 + [[-0.25, -0.25, 2.0]]).astype(np.float32)
+        )
+        cc = jnp.asarray(np.array([[1018.0, 779.0]], np.float32))
+        p_f = model.apply(
+            params, jnp.asarray(img_u8.astype(np.float32) / 255.0),
+            points, cc)
+        p_u = model.apply(params, jnp.asarray(img_u8), points, cc)
+        for f, u in zip(p_f, p_u):
+            for k in f:
+                np.testing.assert_array_equal(np.asarray(f[k]),
+                                              np.asarray(u[k]), err_msg=k)
+
     def test_out_of_image_points_get_out_dist(self, field_model):
         model, params = field_model
         images = jnp.zeros((1, 64, 64, 5))
@@ -142,6 +160,31 @@ class TestCHOREField:
         }
         gnorm = sum(jnp.sum(l**2) for l in jax.tree_util.tree_leaves(g))
         assert float(gnorm) > 0
+
+    def test_compact_pca_gt_matches_tiled(self, rng):
+        """The compact (B,3,3) pca GT (the dataset's transport form) must
+        give bitwise the same loss as the tiled (B,N,3,3) form."""
+        B, N = 2, 16
+        preds = [{
+            "df": jnp.asarray(np.abs(rng.randn(B, N, 2)).astype(np.float32)),
+            "pca": jnp.asarray(rng.randn(B, N, 3, 3).astype(np.float32)),
+            "parts": jnp.asarray(rng.randn(B, N, 14).astype(np.float32)),
+            "centers": jnp.asarray(rng.randn(B, N, 6).astype(np.float32)),
+        }]
+        pca_gt = rng.randn(B, 3, 3).astype(np.float32)
+        base = {
+            "df_h": jnp.asarray(np.abs(rng.randn(B, N)).astype(np.float32) * 0.05),
+            "df_o": jnp.asarray(np.abs(rng.randn(B, N)).astype(np.float32) * 0.05),
+            "parts": jnp.asarray(rng.randint(0, 14, (B, N))),
+            "body_center": jnp.asarray(np.tile([[0, 0, 2.2]], (B, 1)).astype(np.float32)),
+            "obj_center": jnp.asarray(np.tile([[0.3, 0, 0]], (B, 1)).astype(np.float32)),
+        }
+        t_tiled, _ = chore_losses(
+            preds, dict(base, pca=jnp.asarray(np.tile(pca_gt[:, None], (1, N, 1, 1)))),
+            TINY)
+        t_compact, _ = chore_losses(preds, dict(base, pca=jnp.asarray(pca_gt)),
+                                    TINY)
+        assert float(t_tiled) == float(t_compact)
 
     def test_loss_zero_when_perfect(self):
         # hand-built preds equal to GT must produce ~zero loss

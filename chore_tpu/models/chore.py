@@ -177,6 +177,12 @@ class CHOREField(nn.Module):
         )
         sampled_all = bilinear_sample(cat, xy).astype(self.dtype)
 
+        # Per-stack decode on slices of the stacked gather. A one-pass
+        # (B, N, S, 323) decode (heads share weights across stacks) was
+        # tried and measured SLOWER (556 vs 529 ms/step): the broadcast
+        # duplication of z/tmpx and the 4-D layouts cost more than the
+        # concat backward's slices save. Don't re-attempt without a new
+        # layout idea.
         preds_list = []
         offset = 0
         for feat in feats:

@@ -87,10 +87,6 @@ class KinectFrameReader:
         return [get_seq_bkg(self.empty, k)
                 for k in range(self.kinect_count)]
 
-    @staticmethod
-    def remove_background(depth, bkg, tol=100):
-        return remove_background(depth, bkg, tol)
-
     def _discover(self, check_image):
         valid = []
         for frame in sorted(os.listdir(self.seq_path)):
@@ -139,9 +135,10 @@ class KinectFrameReader:
 class FrameDataReader(KinectFrameReader):
     """Per-frame GT/mocap/mask access (reference: frame_data.py:18-203)."""
 
-    def __init__(self, seq, ext="jpg", check_image=True):
+    def __init__(self, seq, empty=None, ext="jpg", check_image=True):
         info = SeqInfo(seq)
-        super().__init__(seq, info.kinect_count(), ext, check_image)
+        super().__init__(seq, info.kinect_count(), ext, check_image,
+                         empty=empty)
         self.seq_info = info
         self.kids = info.kids
 

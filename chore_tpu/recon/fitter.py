@@ -344,7 +344,8 @@ class ReconFitter:
         key = key if key is not None else jax.random.PRNGKey(0)
         # host copies for the silhouette ROI prep (cv2): reading masks back
         # from the device would cost a ~2 MB/example round trip mid-pipeline
-        images_np = np.asarray(images)
+        # (only needed when the silhouette phase runs)
+        images_np = np.asarray(images) if use_silhouette else None
         crop_center_np = np.asarray(crop_center, np.float32)
         images = jnp.asarray(images)
         crop_center = jnp.asarray(crop_center_np)

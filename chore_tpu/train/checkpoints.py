@@ -85,12 +85,14 @@ def load_checkpoint(path, state_template):
         "training_time": np.asarray(0.0),
         "global_step": np.asarray(0),
     }
-    try:
-        payload = serialization.from_bytes(template, raw)
-    except (KeyError, ValueError):
+    # inspect the payload to decide the template shape up front: a blind
+    # retry-without-global_step would mask genuine template/shape
+    # mismatches behind a misleading missing-key error
+    restored = serialization.msgpack_restore(raw)
+    if not (isinstance(restored, dict) and "global_step" in restored):
         template.pop("global_step")
-        payload = serialization.from_bytes(template, raw)
-        payload["global_step"] = np.asarray(0)
+    payload = serialization.from_state_dict(template, restored)
+    payload.setdefault("global_step", np.asarray(0))
     return (payload["state"], int(payload["epoch"]),
             float(payload["training_time"]), int(payload["global_step"]))
 

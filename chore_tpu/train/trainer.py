@@ -221,6 +221,7 @@ class Trainer:
         params, unused = ti.convert_state_dict(
             data["model_state_dict"], template)
         opt_state = self.tx.init(params)
+        count = 0
         if "optimizer_state_dict" in data:
             if self.optimizer_name != "adam":
                 raise ValueError(
@@ -242,6 +243,10 @@ class Trainer:
         self.opt_state = replicate(opt_state, self.mesh)
         self.epoch = int(data.get("epoch", 0))
         self.training_time = float(data.get("training_time", 0.0))
+        # the torch Adam step count IS the number of optimizer steps taken;
+        # continuing the metrics/profiler/checkpoint timeline from it keeps
+        # global_step consistent with the imported optimizer state
+        self.global_step = int(count)
         return unused
 
     def train_model(self, train_batches_fn, num_epochs, val_batches_fn=None,

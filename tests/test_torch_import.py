@@ -286,6 +286,9 @@ class TestOptimizerImport:
         trainer.import_torch(str(tar))
         assert trainer.epoch == 7
         assert trainer.training_time == 60.0
+        # metrics/profiler/checkpoint timeline continues from the imported
+        # optimizer trajectory, not from 0
+        assert trainer.global_step >= 2
 
         # the shared extra gradient, as torch name -> array
         g = torch.Generator().manual_seed(99)

@@ -18,35 +18,18 @@ import json
 import os
 import sys
 import time
-import types
 
 import numpy as np
 
 REF = "/root/reference"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
 
-
-def _stub_module(name):
-    if name in sys.modules:
-        return
-    mod = types.ModuleType(name)
-    sys.modules[name] = mod
-    parent, _, child = name.rpartition(".")
-    if parent:
-        _stub_module(parent)
-        setattr(sys.modules[parent], child, mod)
-
-
-class _Opt(dict):
-    __getattr__ = dict.__getitem__
-
-
-RELEASE = dict(
-    num_stack=5, num_hourglass=2, norm="group", hg_down="ave_pool",
-    hourglass_dim=256, skip_hourglass=True, input_type="RGBM3",
-    z_feat="xyz", projection_mode="perspective", loadSize=1200,
-    gpu_id="cpu",
-)
+# single source of truth for the release protocol and the import stubbing:
+# the parity tests. Diverging copies here would let this benchmark measure
+# a different model than the one proven parity-exact.
+from test_torch_parity import RELEASE, _Opt, _stub_module  # noqa: E402
 
 
 def bench_torch(imgs, pts, cc, iters):

@@ -16,7 +16,6 @@ per-device batch math at every width.
 import argparse
 import json
 import os
-import re
 import subprocess
 import sys
 
@@ -106,16 +105,12 @@ print("SCALE_RESULT " + json.dumps(
 
 
 def run_width(n, batch, steps):
-    flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
-                   os.environ.get("XLA_FLAGS", ""))
-    env = {
-        **os.environ,
-        "JAX_PLATFORMS": "cpu",
-        "XLA_FLAGS": (flags
-                      + f" --xla_force_host_platform_device_count={n}"
-                      ).strip(),
-        "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
-    }
+    # the forced-CPU child recipe (sitecustomize overrides JAX_PLATFORMS
+    # unless set before jax import) lives in ONE place: __graft_entry__
+    sys.path.insert(0, REPO)
+    from __graft_entry__ import _cpu_mesh_env
+
+    env = _cpu_mesh_env(n)
     proc = subprocess.run(
         [sys.executable, "-c", CHILD.format(n=n, batch=batch, steps=steps)],
         capture_output=True, text=True, timeout=1200, cwd=REPO, env=env)

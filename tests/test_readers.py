@@ -229,6 +229,16 @@ class TestDepthUtils:
         np.testing.assert_allclose(bkgs[0], 3000.0)
         assert KinectFrameReader(seq, kinect_count=2).prepare_bkgs() is None
 
+        # the GT reader forwards the empty-room sequence to the base class
+        # (reference: frame_data.py:20-22), so background removal is
+        # reachable from the production reader too
+        from chore_tpu.behave.readers import FrameDataReader
+
+        gt_reader = FrameDataReader(seq, empty=str(empty))
+        gt_bkgs = gt_reader.prepare_bkgs()
+        assert gt_bkgs is not None
+        np.testing.assert_allclose(gt_bkgs[0], 3000.0)
+
     def test_interpolate_depth_fills_holes(self, seq):
         calib = self._calib(seq)
         depth = np.full((8, 8), 2.0)

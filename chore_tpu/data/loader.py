@@ -121,31 +121,58 @@ class DataLoader:
             batches = [b for b in batches if len(b) == self.batch_size]
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        END, ERR = object(), object()
+
+        def put_or_stop(item):
+            # bounded put: an abandoned consumer (exception mid-epoch) sets
+            # ``stop`` from its finally, and the producer must observe it
+            # even while the queue is full — a bare q.put would park the
+            # thread forever, pinning staged batches and the worker pool
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
-            if self.worker_type == "process" and self.num_workers > 0:
-                pool = self._process_pool()
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    items = pool.map(_worker_get, list(b))
-                    q.put(collate(items))
-            else:
-                with ThreadPoolExecutor(max(self.num_workers, 1)) as pool:
+            # any dataset/collate exception must reach the consumer: a
+            # dying producer that never enqueues a sentinel would leave
+            # the consumer blocked on q.get() forever
+            try:
+                if self.worker_type == "process" and self.num_workers > 0:
+                    pool = self._process_pool()
                     for b in batches:
                         if stop.is_set():
                             return
-                        items = list(pool.map(self.dataset.__getitem__, b))
-                        q.put(collate(items))
-            q.put(None)
+                        items = pool.map(_worker_get, list(b))
+                        if not put_or_stop(collate(items)):
+                            return
+                else:
+                    with ThreadPoolExecutor(max(self.num_workers, 1)) as pool:
+                        for b in batches:
+                            if stop.is_set():
+                                return
+                            items = list(
+                                pool.map(self.dataset.__getitem__, b))
+                            if not put_or_stop(collate(items)):
+                                return
+            except BaseException as e:  # noqa: BLE001
+                put_or_stop((ERR, e))
+                return
+            put_or_stop(END)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
         try:
             while True:
                 batch = q.get()
-                if batch is None:
+                if batch is END:
                     return
+                if isinstance(batch, tuple) and len(batch) == 2 \
+                        and batch[0] is ERR:
+                    raise batch[1]
                 yield batch
         finally:
             stop.set()

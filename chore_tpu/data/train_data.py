@@ -74,14 +74,26 @@ class BehaveTrainData:
 
     def __getitem__(self, idx):
         """Retry-on-exception with a random other sample
-        (reference: base_data.py:29-39)."""
-        try:
-            return self.get_item(idx)
-        except Exception as e:  # noqa: BLE001
-            ridx = int(self._item_rng(idx).randint(0, len(self.data_paths)))
-            print(f"failed on {self.data_paths[idx]} ({e}), "
-                  f"retrying {self.data_paths[ridx]}")
-            return self[ridx]
+        (reference: base_data.py:29-39). Each attempt draws from an
+        attempt-salted RNG — re-deriving from the SAME (seed, epoch, idx)
+        would redraw the identical replacement forever when it also fails
+        (deterministic infinite recursion); a bounded loop keeps a fully
+        corrupt dataset a loud error instead of a hang."""
+        cur = idx
+        for attempt in range(100):
+            try:
+                return self.get_item(cur)
+            except Exception as e:  # noqa: BLE001
+                rng = np.random.RandomState(
+                    (self.seed * 1_000_003 + self.epoch * 7919 + idx
+                     + 104_729 * (attempt + 1)) % (2**31 - 1))
+                ridx = int(rng.randint(0, len(self.data_paths)))
+                print(f"failed on {self.data_paths[cur]} ({e}), "
+                      f"retrying {self.data_paths[ridx]}")
+                cur = ridx
+        raise RuntimeError(
+            f"100 consecutive sample failures starting at index {idx}; "
+            "the dataset looks unreadable")
 
     def get_samples(self, data, rng=None):
         """Per-sigma subsampling (reference: train_data.py:69-113)."""

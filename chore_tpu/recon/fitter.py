@@ -214,7 +214,11 @@ class ReconFitter:
             R = project_so3_jittered(obj_params["obj_R"], key)
         else:
             R = project_so3(obj_params["obj_R"])
-        v = jnp.einsum("nd,bde->bne", pts, R) + obj_params["obj_t"][:, None]
+        # HIGHEST: a bf16 pass here biases every template vertex ~mm-scale,
+        # feeding df/contact/silhouette losses (CLAUDE.md precision rule)
+        v = jnp.einsum("nd,bde->bne", pts, R,
+                       precision=jax.lax.Precision.HIGHEST)
+        v = v + obj_params["obj_t"][:, None]
         return v * obj_params["obj_s"][:, None, None]
 
     # ------------------------------------------------------------------ #

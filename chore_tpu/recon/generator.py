@@ -39,7 +39,9 @@ class SamplerConfig:
     sample_num: int = 20000  # live samples per round (generator.py:144)
     num_rounds: int = 6  # total rounds; rounds 1.. harvest
     num_points: int = 5000  # output points per target (recon_fit_behave.py:46)
-    init_num: int = 30000  # initial box samples (generator.py:114)
+    # the reference draws 30k initial box samples then caps the live set
+    # at sample_num (generator.py:275-282,144); the fixed-capacity rewrite
+    # draws sample_num directly, so no separate init_num knob exists
 
 
 def init_box_samples(key, batch_size, n):
@@ -86,9 +88,13 @@ def make_surface_sampler(query_fn, cfg: SamplerConfig = SamplerConfig()):
 
     def sample(key, df_idx, batch_size):
         k_init, k_loop = jax.random.split(key)
-        init = init_box_samples(k_init, batch_size, cfg.init_num)
-        # round 0 uses a subsample of the init box at the live sample count
-        live = init[:, : cfg.sample_num]
+        # the fixed-capacity rewrite only ever consumes sample_num live
+        # points (round 0 and the fallback re-draw both), so drawing the
+        # reference's larger init_num (generator.py:275-282 draws 30k then
+        # caps the live set) would be dead work — generate exactly what is
+        # used
+        init = init_box_samples(k_init, batch_size, cfg.sample_num)
+        live = init
 
         n_harvest = cfg.num_rounds - 1
 
@@ -112,7 +118,7 @@ def make_surface_sampler(query_fn, cfg: SamplerConfig = SamplerConfig()):
                 k2, picked.shape
             )
             # fallback: fresh box samples + wide noise (generator.py:173-176)
-            fresh = init[:, : cfg.sample_num] + 0.5 * jax.random.normal(
+            fresh = init + 0.5 * jax.random.normal(
                 k3, (batch_size, cfg.sample_num, 3)
             )
             new_live = jnp.where(any_valid[:, None, None], picked, fresh)

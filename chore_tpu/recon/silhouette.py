@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from chore_tpu.ops.camera import (
@@ -175,7 +176,10 @@ def silhouette_loss(sil_data, template_verts, faces, R, t, s, rend_size=256):
 
     Returns (loss scalar, rendered (B, S, S)).
     """
-    verts = jnp.einsum("vd,bde->bve", jnp.asarray(template_verts), R)
+    # HIGHEST: bf16 vertex placement shifts rendered edges by ~mm, biasing
+    # the silhouette gradient (CLAUDE.md precision rule)
+    verts = jnp.einsum("vd,bde->bve", jnp.asarray(template_verts), R,
+                       precision=jax.lax.Precision.HIGHEST)
     verts = (verts + t[:, None, :]) * s[:, None, None]
     ndc = project_unit_k(verts, sil_data["k_rois"])
     image = soft_silhouette(ndc, jnp.asarray(faces), image_size=rend_size)

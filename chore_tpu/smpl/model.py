@@ -8,6 +8,7 @@ which leaves receive updates (instead of constructing new torch Modules).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -76,9 +77,13 @@ class SMPLH:
         """body25 (B,25,3), face (B,70,3), hand (B,42,3) landmarks via dense
         regressor matmuls (reference: wrapper_pytorch.py:78-90)."""
         verts = self.verts(params, offsets)
-        j = jnp.einsum("kv,bvd->bkd", self.body25_reg, verts)
-        face = jnp.einsum("kv,bvd->bkd", self.face_reg, verts)
-        hand = jnp.einsum("kv,bvd->bkd", self.hand_reg, verts)
+        # HIGHEST: these lower to dot_general, and the default single bf16
+        # pass would inject mm-scale joint noise into smplz/j2d/ocent losses
+        # (CLAUDE.md precision rule; lbs.py applies it for the same reason)
+        hi = jax.lax.Precision.HIGHEST
+        j = jnp.einsum("kv,bvd->bkd", self.body25_reg, verts, precision=hi)
+        face = jnp.einsum("kv,bvd->bkd", self.face_reg, verts, precision=hi)
+        hand = jnp.einsum("kv,bvd->bkd", self.hand_reg, verts, precision=hi)
         return j, face, hand
 
     def pelvis(self, params):

@@ -155,13 +155,31 @@ class Trainer:
     def compute_val_loss(self, val_batches):
         """Runs on EVERY process: _eval_step is a global-mesh SPMD program,
         so gating it on the main process would deadlock multi-host jobs.
-        Only the logging/pointer update downstream is main-only."""
-        losses = []
+        Only the logging/pointer update downstream is main-only.
+
+        Batches whose size is not divisible by the device count (e.g. the
+        trailing partial batch of a small val split, drop_last=False) are
+        WRAP-padded to shardability (cyclic repetition spreads the
+        duplicates evenly — exact when n_real divides the padded size);
+        the final average weights each batch by its REAL sample count."""
+        n_dev = int(self.mesh.devices.size)
+        losses, weights = [], []
         for batch in val_batches:
+            n_real = next(iter(batch.values())).shape[0]
+            pad = (-n_real) % n_dev
+            if pad:
+                batch = {
+                    k: np.concatenate(
+                        [v, np.asarray(v)[np.arange(pad) % n_real]], axis=0)
+                    for k, v in batch.items()
+                }
             batch = shard_batch(batch, self.mesh)
             loss, _ = self._eval_step(self.params, batch)
             losses.append(float(loss))
-        return float(np.mean(losses)) if losses else float("inf")
+            weights.append(n_real)
+        if not losses:
+            return float("inf")
+        return float(np.average(losses, weights=weights))
 
     def save(self):
         if not is_main_process():

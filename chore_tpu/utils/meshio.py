@@ -41,9 +41,16 @@ def load_ply(path):
             elif line == b"end_header":
                 break
 
-        type_map = {"float": "f4", "float32": "f4", "double": "f8",
-                    "uchar": "u1", "uint8": "u1", "int": "i4", "int32": "i4",
-                    "short": "i2", "ushort": "u2", "char": "i1"}
+        # full PLY scalar-type vocabulary (both the classic and sized
+        # spellings): open3d, for one, writes 'property list uchar uint'
+        type_map = {"float": "f4", "float32": "f4",
+                    "double": "f8", "float64": "f8",
+                    "uchar": "u1", "uint8": "u1",
+                    "char": "i1", "int8": "i1",
+                    "short": "i2", "int16": "i2",
+                    "ushort": "u2", "uint16": "u2",
+                    "int": "i4", "int32": "i4",
+                    "uint": "u4", "uint32": "u4"}
         if fmt == "ascii":
             verts = np.empty((n_verts, len(vert_props)), np.float64)
             for i in range(n_verts):

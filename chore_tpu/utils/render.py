@@ -89,15 +89,12 @@ def render_meshes(mesh_list, colors, image_size=512, K=None,
     fi = np.asarray(fi[0])
     bary = np.asarray(bary[0])
     mask = fi >= 0
-    # flat shading from face normals
-    v0 = verts[faces[:, 0]]
-    v1 = verts[faces[:, 1]]
-    v2 = verts[faces[:, 2]]
-    n = np.cross(v1 - v0, v2 - v0)
-    n = n / (np.linalg.norm(n, axis=1, keepdims=True) + 1e-12)
-    l = np.asarray(light_dir, np.float32)
-    l = l / np.linalg.norm(l)
-    shade = ambient + directional * np.abs(n @ l)
+    # flat shading from face normals (shared with the textured renderer so
+    # lighting changes stay in one place)
+    from chore_tpu.utils.textures import face_normals, lighting
+
+    shade = lighting(face_normals(verts, faces), light_dir,
+                     ambient=ambient, directional=directional)
 
     img = (np.zeros((image_size, image_size, 3), np.float32)
            if background is None else background.copy())

@@ -2,6 +2,7 @@
 when the bundled reference example is present -- the full test-time prep on
 a real image."""
 import json
+import time
 import os
 
 import numpy as np
@@ -92,6 +93,37 @@ class TestLoader:
         xb = np.concatenate([bt["x"][:, 0] for bt in b])
         assert len(set(xa) & set(xb)) == 0
         assert len(set(xa) | set(xb)) == 16
+
+    def test_dataset_error_propagates(self):
+        """A dataset exception must surface at the consumer, not kill the
+        producer thread and leave the consumer blocked on the queue."""
+
+        class _Broken(_ToyDataset):
+            def __getitem__(self, i):
+                if i == 5:
+                    raise FileNotFoundError("mask missing")
+                return super().__getitem__(i)
+
+        loader = DataLoader(_Broken(23), batch_size=4, shuffle=False,
+                            num_workers=2)
+        with pytest.raises(FileNotFoundError, match="mask missing"):
+            list(loader)
+
+    def test_consumer_abandonment_unblocks_producer(self):
+        """Breaking out of iteration mid-epoch must not leave the producer
+        thread parked forever on a full queue."""
+        import threading
+
+        before = threading.active_count()
+        loader = DataLoader(_ToyDataset(64), batch_size=4, shuffle=False,
+                            num_workers=1, prefetch=1)
+        it = iter(loader)
+        next(it)
+        it.close()  # generator finally sets the stop event
+        deadline = time.time() + 10.0
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= before, "producer thread leaked"
 
     def test_epoch_shuffling_differs(self):
         loader = DataLoader(_ToyDataset(16), batch_size=16, shuffle=True,

@@ -34,7 +34,7 @@ def test_run_demo_on_real_example(tmp_path):
                         steps_per_iter=2, obj_samples=128, net_in_size=64,
                         sil_rend_size=32)
     samp = SamplerConfig(num_steps=2, sample_num=256, num_rounds=2,
-                         num_points=128, init_num=512)
+                         num_points=128)
     out = str(tmp_path / "demo_out")
     run_demo(cfg, EXAMPLE, "basketball", outpath=out, max_frames=1,
              fit_cfg=fit_cfg, sampler_cfg=samp, render_size=64,

@@ -32,7 +32,7 @@ def sphere_query_fn(points):
 
 
 CFG = SamplerConfig(num_steps=8, sample_num=2048, num_rounds=4,
-                    num_points=1024, init_num=4096)
+                    num_points=1024)
 
 
 class TestInitBox:
@@ -91,7 +91,7 @@ class TestLowDfFallback:
             return dict(preds, df=preds["df"] + 0.01)
 
         cfg = SamplerConfig(num_steps=8, sample_num=1024, num_rounds=3,
-                            num_points=256, init_num=2048, filter_val=0.004)
+                            num_points=256, filter_val=0.004)
         sampler = make_surface_sampler(biased_query_fn, cfg)
         out = sampler(jax.random.PRNGKey(0), 0, 2)
         assert int(out["n_valid"].sum()) == 0

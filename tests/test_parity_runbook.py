@@ -44,7 +44,7 @@ FIT = FitConfig(iter_betas=1, iter_pose=1, iter_kpts_max=2, iter_obj=1,
                 iter_sil=1, iter_joint_max=2, steps_per_iter=2,
                 obj_samples=128, net_in_size=64, sil_rend_size=32)
 SAMP = SamplerConfig(num_steps=2, sample_num=256, num_rounds=2,
-                     num_points=128, init_num=512)
+                     num_points=128)
 
 
 def _load_import_tool():

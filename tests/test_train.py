@@ -59,6 +59,21 @@ class TestTrainer:
         losses = [float(trainer.train_step(batch)[0]) for _ in range(8)]
         assert losses[-1] < losses[0]
 
+    def test_val_loss_handles_partial_batches(self, trainer, rng):
+        """A val batch not divisible by the 8-device mesh (the trailing
+        drop_last=False remainder) must wrap-pad instead of crashing
+        shard_batch, and the batch average must weight by REAL size: a
+        divisible batch plus itself wrap-padded from a 2-sample prefix
+        gives the exact per-batch losses to compare against."""
+        b8 = make_batch(rng, B=8)
+        b2 = {k: v[:2] for k, v in b8.items()}
+        l8 = trainer.compute_val_loss([b8])
+        l2 = trainer.compute_val_loss([b2])  # wrap-pads 2 -> 8, exact
+        combined = trainer.compute_val_loss([b8, b2])
+        assert np.isfinite(l8) and np.isfinite(l2)
+        np.testing.assert_allclose(combined, (8 * l8 + 2 * l2) / 10,
+                                   rtol=1e-6)
+
     def test_sharded_matches_replicated_semantics(self, rng):
         # the loss on a sharded batch equals the loss computed single-device
         model = CHOREField(cfg=TINY)

@@ -214,9 +214,15 @@ def bench_fit(jax, jnp, model, params):
         return float(np.asarray(out["obj_params"]["obj_t"]).sum())
 
     run(0)  # compile all stages
-    t0 = time.time()
-    run(1)
-    return time.time() - t0
+    # best-of-2 steady state: single-shot timing through the remote tunnel
+    # shows ±0.2 s dispatch variance run-to-run on identical code
+    best = None
+    for k in (1, 2):
+        t0 = time.time()
+        run(k)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best
 
 
 class _BenchTrainDataset:

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from chore_tpu.models.hourglass import HGFilter
 from chore_tpu.models.layers import conv_init
 from chore_tpu.ops.camera import PerspectiveCamera
-from chore_tpu.ops.grid_sample import bilinear_sample
+from chore_tpu.ops.grid_sample import bilinear_sample, bilinear_sample_frozen
 
 
 @dataclasses.dataclass(frozen=True)
@@ -136,7 +136,8 @@ class CHOREField(nn.Module):
             "centers": centers,
         }
 
-    def query(self, feats, tmpx, points, crop_center):
+    def query(self, feats, tmpx, points, crop_center,
+              frozen_features: bool = False):
         """Query the fields at 3D points.
 
         Args:
@@ -144,12 +145,19 @@ class CHOREField(nn.Module):
           tmpx: (B, Ht, Wt, 64) stem skip feature.
           points: (B, N, 3) camera-space points.
           crop_center: (B, 2) crop center in original image pixels.
+          frozen_features: when the caller will differentiate ONLY w.r.t.
+            ``points`` (fitting/point-generation loops: the net is frozen),
+            use the corner-saving sampler whose backward pass needs no
+            feature re-gathers (``bilinear_sample_frozen``). Identical
+            forward values; gradients w.r.t. feats/tmpx are silently zero,
+            so never set this during training.
 
         Returns:
           list (one per stack) of head dicts; ``df`` of out-of-image points
           is forced to OUT_DIST (reference: chore.py:130,146-150).
         """
         c = self.cfg
+        sample = bilinear_sample_frozen if frozen_features else bilinear_sample
         xyz = self.camera.project_points(points, crop_center)
         xy = xyz[..., :2]  # (B, N, 2) in [-1, 1]
         # z-feature: [x, y, z - z0] (reference: chore.py:128-129)
@@ -163,7 +171,7 @@ class CHOREField(nn.Module):
             & (xy[..., 1] <= 1.0)
         )
         # gathers run in the encoder dtype (halves HBM traffic under bf16)
-        tmpx_local = bilinear_sample(
+        tmpx_local = sample(
             tmpx.astype(self.encoder_dtype), xy
         ).astype(self.dtype)  # (B, N, 64)
 
@@ -175,7 +183,7 @@ class CHOREField(nn.Module):
         cat = jnp.concatenate(
             [f.astype(self.encoder_dtype) for f in feats], axis=-1
         )
-        sampled_all = bilinear_sample(cat, xy).astype(self.dtype)
+        sampled_all = sample(cat, xy).astype(self.dtype)
 
         # Per-stack decode on slices of the stacked gather. A one-pass
         # (B, N, S, 323) decode (heads share weights across stacks) was

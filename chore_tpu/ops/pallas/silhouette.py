@@ -8,11 +8,12 @@ F). This kernel keeps the whole pixels x faces computation in VMEM:
 
   * per face edge e: signed distance is affine in the pixel,
         d_e(p) = A_e * px + B_e * py + C_e
-    so a (TILE_P, 8) pixel tile against an (8, TILE_F) coefficient block is
-    ONE MXU matmul per edge; coverage = sigmoid(min_e d_e) is VPU work on
-    the resident tile, reduced into a per-pixel accumulator.
+    evaluated as (TILE_P, 1) x (1, TILE_F) broadcast FMAs on the VPU
+    (contraction depth is only 3, so the MXU runs ~16x under-utilized on
+    this shape — see _edge_d); coverage = sigmoid(min_e d_e) on the
+    resident tile, reduced into a per-pixel accumulator.
   * the backward pass re-computes the tile and contracts the sigmoid
-    derivative against the pixel coordinates -- also MXU matmuls --
+    derivative against the pixel coordinates (sublane-axis reductions),
     accumulating per-face coefficient gradients across the sequential TPU
     grid. d(coeffs)/d(vertices) stays in XLA autodiff outside the kernel.
 
@@ -35,36 +36,41 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_HIGH = jax.lax.Precision.HIGHEST
 
+def _edge_d(px, py, e_ref, sl):
+    """One edge's affine evaluation as VPU broadcast multiply-adds.
 
-def _dots(a, e_refs, sl):
-    """Three per-edge affine evaluations as MXU matmuls.
+    px/py: (TILE_P, 1) pixel coordinate columns. e_ref: (8, Fp)
+    coefficient block (rows 0..2 = A, B, C). Returns (TILE_P, TILE_F).
 
-    a: (TILE_P, 8) pixel rows [px, py, 1, 0...]. e_refs: three (8, Fp)
-    coefficient blocks (rows 0..2 = A, B, C). Returns (TILE_P, TILE_F) x3.
+    A (TILE_P,1)x(1,TILE_F) broadcast FMA beats the former
+    (TILE_P,8)@(8,F) MXU matmul here: the contraction depth is only 8
+    (padded to the MXU's 128) and HIGHEST-precision f32 multiplies the
+    pass count, so the systolic array ran ~16x under-utilized — measured
+    2.6-3.2x slower than this VPU form at 256^2 x {128,2048} faces.
+    Exact f32 FMAs also replace the 6-pass bf16 HIGHEST emulation.
     """
-    out = []
-    for e_ref in e_refs:
-        e = e_ref[:, sl]
-        out.append(jax.lax.dot_general(
-            a, e, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HIGH))
-    return out
+    A = e_ref[0:1, sl]  # (1, TILE_F)
+    B = e_ref[1:2, sl]
+    C = e_ref[2:3, sl]
+    return px * A + py * B + C
 
 
 def _fwd_kernel(pix_ref, e0_ref, e1_ref, e2_ref, out_ref, *, tile_f):
     n_chunks = e0_ref.shape[1] // tile_f
-    a = pix_ref[:]  # (TILE_P, 8)
+    px = pix_ref[:, 0:1]  # (TILE_P, 1)
+    py = pix_ref[:, 1:2]
 
     def chunk(j, acc):
         sl = pl.ds(j * tile_f, tile_f)
-        d0, d1, d2 = _dots(a, (e0_ref, e1_ref, e2_ref), sl)
+        d0 = _edge_d(px, py, e0_ref, sl)
+        d1 = _edge_d(px, py, e1_ref, sl)
+        d2 = _edge_d(px, py, e2_ref, sl)
         dmin = jnp.minimum(jnp.minimum(d0, d1), d2)
         return acc + jnp.sum(
             jax.nn.sigmoid(dmin), axis=1, keepdims=True)
 
-    acc = jnp.zeros((a.shape[0], 1), jnp.float32)
+    acc = jnp.zeros((px.shape[0], 1), jnp.float32)
     out_ref[:] = jax.lax.fori_loop(0, n_chunks, chunk, acc)
 
 
@@ -79,12 +85,15 @@ def _bwd_kernel(pix_ref, e0_ref, e1_ref, e2_ref, g_ref,
         de2_ref[:] = jnp.zeros_like(de2_ref)
 
     n_chunks = e0_ref.shape[1] // tile_f
-    a = pix_ref[:]  # (TILE_P, 8)
+    px = pix_ref[:, 0:1]  # (TILE_P, 1)
+    py = pix_ref[:, 1:2]
     g = g_ref[:]  # (TILE_P, 1) upstream dL/d(raw coverage sum)
 
     def chunk(j, _):
         sl = pl.ds(j * tile_f, tile_f)
-        d0, d1, d2 = _dots(a, (e0_ref, e1_ref, e2_ref), sl)
+        d0 = _edge_d(px, py, e0_ref, sl)
+        d1 = _edge_d(px, py, e1_ref, sl)
+        d2 = _edge_d(px, py, e2_ref, sl)
         dmin = jnp.minimum(jnp.minimum(d0, d1), d2)
         s = jax.nn.sigmoid(dmin)
         ds = g * s * (1.0 - s)  # (TILE_P, TILE_F)
@@ -93,11 +102,15 @@ def _bwd_kernel(pix_ref, e0_ref, e1_ref, e2_ref, g_ref,
         m1 = (~m0) & (d1 <= d2)
         m2 = ~(m0 | m1)
         for m, de_ref in ((m0, de0_ref), (m1, de1_ref), (m2, de2_ref)):
-            contrib = jax.lax.dot_general(
-                a, jnp.where(m, ds, 0.0), (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HIGH,
-            )  # (8, TILE_F)
-            de_ref[:, sl] += contrib
+            w = jnp.where(m, ds, 0.0)  # (TILE_P, TILE_F)
+            # d(coeffs): contract over the pixel tile on the VPU (sublane
+            # reduction); rows are [dA, dB, dC] = sum_p w * [px, py, 1]
+            dA = jnp.sum(w * px, axis=0, keepdims=True)  # (1, TILE_F)
+            dB = jnp.sum(w * py, axis=0, keepdims=True)
+            dC = jnp.sum(w, axis=0, keepdims=True)
+            de_ref[0:1, sl] += dA
+            de_ref[1:2, sl] += dB
+            de_ref[2:3, sl] += dC
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk, 0)
@@ -131,7 +144,7 @@ def _pad_inputs(e, image_size, tile_p, tile_f):
 
 @functools.partial(jax.jit, static_argnames=("image_size", "tile_p",
                                               "tile_f"))
-def _coverage_fwd_call(e, image_size, tile_p=256, tile_f=512):
+def _coverage_fwd_call(e, image_size, tile_p=512, tile_f=512):
     """e: (3, 8, F) edge coefficients -> (P,) raw coverage sums."""
     ep, pix, p, tile_f = _pad_inputs(e, image_size, tile_p, tile_f)
     grid = (pix.shape[0] // tile_p,)
@@ -155,7 +168,7 @@ def _coverage_fwd_call(e, image_size, tile_p=256, tile_f=512):
 
 @functools.partial(jax.jit, static_argnames=("image_size", "tile_p",
                                               "tile_f"))
-def _coverage_bwd_call(e, g, image_size, tile_p=256, tile_f=512):
+def _coverage_bwd_call(e, g, image_size, tile_p=512, tile_f=512):
     """g: (P,) upstream grads -> (3, 8, F) coefficient grads."""
     f = e.shape[-1]
     ep, pix, p, tile_f = _pad_inputs(e, image_size, tile_p, tile_f)

@@ -116,9 +116,12 @@ class ReconFitter:
     # ------------------------------------------------------------------ #
     def _query(self, params, feats, tmpx, points, crop_center):
         """Last-stack field query as a pure function (traced inside the
-        stage jits)."""
+        stage jits). The net is frozen during fitting -- gradients flow
+        only to the points -- so the corner-saving frozen sampler applies
+        (no backward feature re-gathers)."""
         preds = self.model.apply(
-            params, feats, tmpx, points, crop_center, method="query"
+            params, feats, tmpx, points, crop_center,
+            frozen_features=True, method="query"
         )
         return preds[-1]
 

@@ -107,12 +107,23 @@ def make_surface_sampler(query_fn, cfg: SamplerConfig = SamplerConfig()):
 
             # resample: survivors + noise, or re-draw from init if none
             k1, k2, k3 = jax.random.split(k, 3)
-            logits = jnp.where(mask, 0.0, -1e9)
             any_valid = mask.any(axis=1)  # (B,)
-            idx = jax.random.categorical(
-                k1, logits[:, None, :], axis=-1,
-                shape=(batch_size, cfg.sample_num),
-            )
+            # uniform-with-replacement over survivors via cumsum +
+            # searchsorted: the r-th survivor for r ~ U{1..n_valid}.
+            # Distributionally identical to categorical over uniform
+            # survivor logits, but O(S log S) instead of the (draws x
+            # classes) Gumbel-argmax materialization (measured 118 ms of
+            # the 1.2 s fit as an iota_reduce fusion at 20k x 20k).
+            csum = jnp.cumsum(mask.astype(jnp.int32), axis=1)  # (B, S)
+            n_valid = csum[:, -1:]  # (B, 1)
+            u = jax.random.uniform(k1, (batch_size, cfg.sample_num))
+            r = jnp.floor(u * n_valid).astype(jnp.int32) + 1  # in {1..n}
+            idx = jax.vmap(
+                lambda c, q: jnp.searchsorted(c, q, side="left")
+            )(csum, r)  # (B, sample_num)
+            # n_valid == 0 -> r=1 lands past the end; clamp (the fallback
+            # branch below discards these rows anyway)
+            idx = jnp.minimum(idx, mask.shape[1] - 1)
             picked = jnp.take_along_axis(surf, idx[..., None], axis=1)
             picked = picked + (cfg.threshold / 3.0) * jax.random.normal(
                 k2, picked.shape
@@ -210,8 +221,12 @@ class Generator:
 
         def sample(params, feats, tmpx, crop_center, key, df_idx):
             def query_fn(points):
+                # frozen net: grads flow only to the points (approx_surface
+                # projection) -- the corner-saving sampler skips all
+                # backward feature re-gathers
                 preds = model.apply(
-                    params, feats, tmpx, points, crop_center, method="query"
+                    params, feats, tmpx, points, crop_center,
+                    frozen_features=True, method="query"
                 )
                 return preds[-1]
 

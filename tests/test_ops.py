@@ -94,6 +94,89 @@ class TestBilinearSample:
         assert g.shape == uv.shape
 
 
+class TestBilinearSampleFrozen:
+    """The corner-saving custom-VJP sampler used by the fitting/generation
+    loops (frozen features, gradients only w.r.t. uv)."""
+
+    def test_forward_identical(self, rng):
+        from chore_tpu.ops.grid_sample import bilinear_sample_frozen
+        feat = jnp.asarray(rng.randn(2, 8, 8, 5).astype(np.float32))
+        uv = jnp.asarray(
+            ((rng.rand(2, 64, 2) - 0.5) * 2.6).astype(np.float32))  # incl OOB
+        a = bilinear_sample(feat, uv)
+        b = bilinear_sample_frozen(feat, uv)
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_uv_gradient_matches_autodiff(self, rng):
+        from chore_tpu.ops.grid_sample import bilinear_sample_frozen
+        feat = jnp.asarray(rng.randn(1, 16, 16, 7).astype(np.float32))
+        # keep points strictly interior & away from pixel-center kinks
+        uv = jnp.asarray(
+            ((rng.rand(1, 128, 2) - 0.5) * 1.8).astype(np.float32))
+        ct = jnp.asarray(rng.randn(1, 128, 7).astype(np.float32))
+
+        def loss_ref(u):
+            return jnp.sum(bilinear_sample(feat, u) * ct)
+
+        def loss_frozen(u):
+            return jnp.sum(bilinear_sample_frozen(feat, u) * ct)
+
+        g_ref = jax.grad(loss_ref)(uv)
+        g_frz = jax.grad(loss_frozen)(uv)
+        np.testing.assert_allclose(np.asarray(g_frz), np.asarray(g_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_uv_gradient_oob_points(self, rng):
+        # out-of-bounds corners are masked: grads must agree there too
+        from chore_tpu.ops.grid_sample import bilinear_sample_frozen
+        feat = jnp.asarray(rng.randn(1, 6, 6, 3).astype(np.float32))
+        uv = jnp.asarray(
+            ((rng.rand(1, 64, 2) - 0.5) * 3.5).astype(np.float32))
+        g_ref = jax.grad(lambda u: bilinear_sample(feat, u).sum())(uv)
+        g_frz = jax.grad(
+            lambda u: bilinear_sample_frozen(feat, u).sum())(uv)
+        np.testing.assert_allclose(np.asarray(g_frz), np.asarray(g_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_feat_cotangent_is_zero(self, rng):
+        # documented contract: frozen sampler yields zero feature grads
+        from chore_tpu.ops.grid_sample import bilinear_sample_frozen
+        feat = jnp.asarray(rng.randn(1, 4, 4, 2).astype(np.float32))
+        uv = jnp.zeros((1, 3, 2))
+        g = jax.grad(lambda f: bilinear_sample_frozen(f, uv).sum())(feat)
+        assert np.all(np.asarray(g) == 0.0)
+
+    def test_model_query_frozen_matches(self, rng):
+        # end-to-end through CHOREField.query: same forward, same point
+        # gradients as the default sampler
+        from chore_tpu.models import CHOREField, FieldConfig
+        cfg = FieldConfig(num_stack=2, net_img_size=64)
+        model = CHOREField(cfg=cfg)
+        images = jnp.asarray(rng.rand(1, 64, 64, 5).astype(np.float32))
+        points = jnp.asarray(
+            (rng.rand(1, 50, 3) * [2, 2, 0.5] + [-1, -1, 1.95]
+             ).astype(np.float32))
+        cc = jnp.asarray(np.array([[1018.0, 779.0]], np.float32))
+        params = model.init(jax.random.PRNGKey(0), images, points, cc,
+                            train=False)
+        feats, tmpx = model.apply(params, images, train=False,
+                                  method="encode")
+
+        def df_sum(pts, frozen):
+            preds = model.apply(params, feats, tmpx, pts, cc,
+                                frozen_features=frozen, method="query")
+            return preds[-1]["df"].sum(), preds[-1]
+
+        (v0, p0), g0 = jax.value_and_grad(
+            lambda p: df_sum(p, False), has_aux=True)(points)
+        (v1, p1), g1 = jax.value_and_grad(
+            lambda p: df_sum(p, True), has_aux=True)(points)
+        np.testing.assert_array_equal(np.asarray(p0["df"]),
+                                      np.asarray(p1["df"]))
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   rtol=1e-4, atol=1e-6)
+
+
 class TestRotation:
     def test_project_so3_is_rotation(self, rng):
         m = jnp.asarray(rng.randn(4, 3, 3).astype(np.float32))

@@ -7,8 +7,10 @@ on-device while_loop (see optimize.py) instead of ~1800 host-driven torch
 Adam steps:
 
   SMPL:   'global' (top betas + trans, lr .02)
-          -> 'smpl all pose' (all pose + betas + trans, lr .006)
-          -> 'kpts' (+2D keypoints, early stop, decay it/3)
+          -> 'smpl all pose' + 'kpts' as ONE phase (all pose + betas +
+             trans, lr .006; j2d switches on and decay becomes it/3 at the
+             kpts boundary WITHOUT resetting Adam -- the reference builds
+             no new optimizer there, recon_fit_behave.py:260-264)
   object: 'object only' x20 (R, t, s; lr .006)
           -> 'sil' x50 (R, t, s; silhouette + trans/scale regs; lr .006)
           -> 'joint' x<=100 (t, s only; +contact +collision; lr .002,
@@ -61,6 +63,11 @@ class FitConfig:
     contact_thresh: float = 0.08
     sil_rend_size: int = 256
     crop_size: int = 1200
+    # re-projection jitter on the optimized rotation before SVD (the
+    # reference adds 1e-4*rand to dodge degenerate SVDs,
+    # recon_fit_base.py:373-384). Disable for deterministic
+    # trajectory-parity oracles.
+    svd_jitter: bool = True
 
 
 class ReconFitter:
@@ -76,11 +83,16 @@ class ReconFitter:
     def __init__(self, model, params, smplh: SMPLH, template_verts,
                  template_faces, weights=None, cfg: FitConfig = FitConfig(),
                  sampler_cfg: SamplerConfig = SamplerConfig(),
-                 assets_dir=None, mesh=None):
+                 assets_dir=None, mesh=None, record_traces=False):
         """mesh: optional jax.sharding.Mesh -- frames of a batch are then
         sharded over its 'data' axis (params replicated); every stage jit
         runs SPMD with XLA inserting the few cross-device reductions the
-        batch-mean losses need."""
+        batch-mean losses need.
+
+        record_traces: when True the stage jits run every iteration (no
+        early-exit while_loop) and fit results carry per-step loss traces
+        under 'smpl_trace'/'obj_trace' -- for debugging and the
+        trajectory-parity oracle, not production speed."""
         self.model = model
         self.mesh = mesh
         if mesh is not None:
@@ -105,6 +117,7 @@ class ReconFitter:
         self.hand_prior = make_hand_prior(assets_dir)
         self.camera = PerspectiveCamera(crop_size=cfg.crop_size)
         self.generator = Generator(model, params, sampler_cfg)
+        self.record_traces = record_traces
         self.timer = StepTimer()  # per-phase wall time, see timer.summary()
 
         # per-instance jitted stages (pure in params + per-frame data)
@@ -129,6 +142,16 @@ class ReconFitter:
         verts = self.smplh.verts(smpl_params)
         return verts[..., 1].max(-1) - verts[..., 1].min(-1)  # (B,)
 
+    def _run(self, loss_fn, params, spec, key, prev_loss, traces, name):
+        """run_phase, collecting the per-step trace when record_traces."""
+        if self.record_traces:
+            params, loss, n, tr = run_phase(
+                loss_fn, params, spec, key, prev_loss=prev_loss, record=True
+            )
+            traces[name] = tr
+            return params, loss, n
+        return run_phase(loss_fn, params, spec, key, prev_loss=prev_loss)
+
     # ------------------------------------------------------------------ #
     def _fit_smpl_pure(self, params, feats, tmpx, crop_center, mocap_pose,
                        mocap_betas, human_t, kpts2d, key):
@@ -144,7 +167,11 @@ class ReconFitter:
         def query_fn(points):
             return self._query(params, feats, tmpx, points, crop_center)
 
-        def smpl_losses(sp, phase_kpts, decay, k):
+        def smpl_losses(sp, decay, k, kpts_w=None):
+            """kpts_w: None = no j2d term at all (phase 'global'); else a
+            0/1 weight so the pose->kpts switch can be a TRACED boundary
+            inside one phase (weighted_sum is linear, so w*j2d with w in
+            {0,1} is exactly the reference's term-present/absent)."""
             ld = {}
             verts = self.smplh.verts(sp)
             preds = query_fn(verts)
@@ -159,61 +186,68 @@ class ReconFitter:
             joints = self.smplh.get_landmarks(sp)[0]
             ld["smplz"] = L.smplz_loss(joints, cfg.z0)
             ld["pinit"] = L.pinit_loss(pose, pose_init)
-            if phase_kpts:
-                ld["j2d"] = L.j2d_loss(joints, kpts2d, crop_center,
-                                       self.camera, cfg.net_in_size)
+            if kpts_w is not None:
+                ld["j2d"] = kpts_w * L.j2d_loss(joints, kpts2d, crop_center,
+                                                self.camera, cfg.net_in_size)
             return L.weighted_sum(ld, self.weights, decay), ld
 
-        k1, k2, k3 = jax.random.split(key, 3)
+        traces = {}
+        k1, k2 = jax.random.split(key)
         # phase 'global': top betas + trans at lr .02. prev_loss starts at
         # 300 and is threaded through ALL phases (recon_fit_behave.py:236).
         spec = PhaseSpec(lr=0.02, n_iters=cfg.iter_betas,
                          steps_per_iter=cfg.steps_per_iter,
                          trainable=freeze_all_except(
-                             smpl_params, "top_betas", "trans"),
-                         decay_fn=lambda it: 1.0)
-        smpl_params, prev, _ = run_phase(
-            lambda p, d, k: smpl_losses(p, False, d, k), smpl_params, spec, k1)
+                             smpl_params, "top_betas", "trans"))
+        smpl_params, prev, _ = self._run(
+            lambda p, it, k: smpl_losses(p, 1.0, k), smpl_params, spec, k1,
+            300.0, traces, "global")
 
-        # phase 'smpl all pose': everything at lr .006
-        spec = PhaseSpec(lr=0.006, n_iters=cfg.iter_pose,
-                         steps_per_iter=cfg.steps_per_iter,
-                         trainable=freeze_all_except(
-                             smpl_params, "trans", "global_pose", "body_pose",
-                             "top_betas", "other_betas"),
-                         decay_fn=lambda it: 1.0)
-        smpl_params, prev, _ = run_phase(
-            lambda p, d, k: smpl_losses(p, False, d, k), smpl_params, spec, k2,
-            prev_loss=prev)
+        # phases 'smpl all pose' + 'kpts' = ONE optimizer lifetime: the
+        # reference switches the description/loss at
+        # it == iter_for_betas + iter_for_pose WITHOUT building a new Adam
+        # (recon_fit_behave.py:260-264), so moments and step count carry
+        # across the boundary. j2d switches on and decay becomes
+        # global_it/3 at local it >= iter_pose (global it = local +
+        # iter_betas). Early stop: reference gate
+        # ``it > 0.25*max_iter + iter_for_betas + iter_for_pose`` on the
+        # global counter (:278) -> local gate 0.25*max_iter + iter_pose.
+        spec = PhaseSpec(
+            lr=0.006,
+            n_iters=cfg.iter_pose + cfg.iter_kpts_max + cfg.iter_kpts,
+            steps_per_iter=cfg.steps_per_iter,
+            trainable=freeze_all_except(
+                smpl_params, "trans", "global_pose", "body_pose",
+                "top_betas", "other_betas"),
+            early_stop_min_iter=0.25 * cfg.iter_kpts_max + cfg.iter_pose,
+            early_stop_rel=1e-3)
 
-        # phase 'kpts': + 2D keypoints, early stop, decay it/3.
-        # Reference semantics with global counter g (kpts starts at
-        # g0 = iter_betas + iter_pose, runs to g < g0+iter_kpts+max_iter,
-        # stop gate g > 0.25*max_iter + g0, decay g/3;
-        # recon_fit_behave.py:240,271,278): in phase-local iterations the
-        # gate offsets cancel to it > 0.25*max_iter.
-        offset = cfg.iter_betas + cfg.iter_pose
-        spec = PhaseSpec(lr=0.006, n_iters=cfg.iter_kpts_max + cfg.iter_kpts,
-                         steps_per_iter=cfg.steps_per_iter,
-                         trainable=freeze_all_except(
-                             smpl_params, "trans", "global_pose", "body_pose",
-                             "top_betas", "other_betas"),
-                         decay_fn=lambda it: (it + offset) / 3.0,
-                         early_stop_min_iter=0.25 * cfg.iter_kpts_max,
-                         early_stop_rel=1e-3)
-        smpl_params, _, _ = run_phase(
-            lambda p, d, k: smpl_losses(p, True, d, k), smpl_params, spec, k3,
-            prev_loss=prev)
+        def pose_kpts_losses(p, it, k):
+            in_kpts = it >= cfg.iter_pose
+            decay = jnp.where(in_kpts, (it + cfg.iter_betas) / 3.0, 1.0)
+            return smpl_losses(p, decay, k,
+                               kpts_w=in_kpts.astype(jnp.float32))
+
+        smpl_params, _, _ = self._run(
+            pose_kpts_losses, smpl_params, spec, k2, prev, traces,
+            "pose_kpts")
 
         scale = self.smpl_height(smpl_params) / height_init
+        if self.record_traces:
+            return smpl_params, scale, traces
         return smpl_params, scale
 
     # ------------------------------------------------------------------ #
-    def transform_obj(self, obj_params, key=None, points=None):
+    def transform_obj(self, obj_params, key=None, points=None, R=None):
         """scale * (template @ R + t) (reference: recon_fit_base.py:361-371).
-        R is re-projected to SO(3) each evaluation (+jitter when key given)."""
+        R is re-projected to SO(3) each evaluation (+jitter when key given),
+        or passed in precomputed so one jittered projection can be shared
+        across loss terms (the reference projects once per forward_step,
+        recon_fit_behave.py:175-176)."""
         pts = self.obj_points if points is None else jnp.asarray(points)
-        if key is not None:
+        if R is not None:
+            pass
+        elif key is not None:
             R = project_so3_jittered(obj_params["obj_R"], key)
         else:
             R = project_so3(obj_params["obj_R"])
@@ -259,11 +293,19 @@ class ReconFitter:
 
         def obj_losses(op, phase, decay, k):
             ld = {}
-            obj = self.transform_obj(op, key=k)
+            # ONE SO(3) projection per step shared by every term (the
+            # reference projects once in forward_step and feeds the same
+            # jittered R to the query AND the silhouette,
+            # recon_fit_behave.py:175-189)
+            if cfg.svd_jitter:
+                R = project_so3_jittered(op["obj_R"], k)
+            else:
+                R = project_so3(op["obj_R"])
+            obj = self.transform_obj(op, R=R)
             if phase == "sil":
                 ld["mask"], _ = silhouette_loss(
                     sil_data, self.template_verts, self.template_faces,
-                    project_so3(op["obj_R"]), op["obj_t"], op["obj_s"],
+                    R, op["obj_t"], op["obj_s"],
                     cfg.sil_rend_size,
                 )
                 ld["scale"] = L.scale_loss(op["obj_s"], cfg.obj_scale)
@@ -288,23 +330,24 @@ class ReconFitter:
                     ld["collide"] = L.collision_loss(smpl_verts, normals, obj)
             return L.weighted_sum(ld, self.weights, decay), ld
 
+        traces = {}
         k1, k2, k3 = jax.random.split(key, 3)
         # 'object only' x iter_obj, lr .006, decay 1. prev_loss starts at
         # 300 and threads through the chain (recon_fit_behave.py:108,162).
         spec = PhaseSpec(lr=0.006, n_iters=cfg.iter_obj,
-                         steps_per_iter=cfg.steps_per_iter,
-                         decay_fn=lambda it: 1.0)
-        obj_params, prev, _ = run_phase(
-            lambda p, d, k: obj_losses(p, "obj", d, k), obj_params, spec, k1)
+                         steps_per_iter=cfg.steps_per_iter)
+        obj_params, prev, _ = self._run(
+            lambda p, it, k: obj_losses(p, "obj", 1.0, k), obj_params, spec,
+            k1, 300.0, traces, "obj")
 
-        # 'sil' x iter_sil, lr .006, decay it+1
+        # 'sil' x iter_sil, lr .006, decay it+1 (local it: the reference's
+        # weight_decay = it - iter_for_obj + 1, recon_fit_behave.py:144-145)
         if use_sil:
             spec = PhaseSpec(lr=0.006, n_iters=cfg.iter_sil,
-                             steps_per_iter=cfg.steps_per_iter,
-                             decay_fn=lambda it: it + 1.0)
-            obj_params, prev, _ = run_phase(
-                lambda p, d, k: obj_losses(p, "sil", d, k), obj_params, spec,
-                k2, prev_loss=prev)
+                             steps_per_iter=cfg.steps_per_iter)
+            obj_params, prev, _ = self._run(
+                lambda p, it, k: obj_losses(p, "sil", it + 1.0, k),
+                obj_params, spec, k2, prev, traces, "sil")
 
         # 'joint' x <= iter_joint_max + iter_joint, lr .002, t+s only,
         # decay continues the global schedule: (global_it - iter_obj + 1)/5
@@ -320,12 +363,13 @@ class ReconFitter:
                          steps_per_iter=cfg.steps_per_iter,
                          trainable=freeze_all_except(
                              obj_params, "obj_t", "obj_s"),
-                         decay_fn=lambda it: (it + off) / 5.0,
                          early_stop_min_iter=0.25 * cfg.iter_joint_max - start,
                          early_stop_rel=1e-4)
-        obj_params, _, _ = run_phase(
-            lambda p, d, k: obj_losses(p, "joint", d, k), obj_params, spec, k3,
-            prev_loss=prev)
+        obj_params, _, _ = self._run(
+            lambda p, it, k: obj_losses(p, "joint", (it + off) / 5.0, k),
+            obj_params, spec, k3, prev, traces, "joint")
+        if self.record_traces:
+            return obj_params, traces
         return obj_params
 
     # ------------------------------------------------------------------ #
@@ -399,11 +443,16 @@ class ReconFitter:
             )
             mocap_poses, mocap_betas, kpts2d = s["mp"], s["mb"], s["kp"]
 
+        smpl_trace = obj_trace = None
         with self.timer.phase("optimize_smpl"):
-            smpl_params, scale = self._jit_fit_smpl(
+            out = self._jit_fit_smpl(
                 self.params, feats, tmpx, crop_center,
                 mocap_poses, mocap_betas, human_t, kpts2d, k_smpl,
             )
+            if self.record_traces:
+                smpl_params, scale, smpl_trace = out
+            else:
+                smpl_params, scale = out
 
         # host-side cv2 ROI prep runs while the device crunches the SMPL
         # chain (the dispatch above is async); uses the host copies of the
@@ -439,6 +488,8 @@ class ReconFitter:
                 pc["object"]["centers"][:, 3:], pc["object"]["pca_axis"],
                 human_t, scale, sil_data, k_obj, use_sil=use_silhouette,
             )
+            if self.record_traces:
+                obj_params, obj_trace = obj_params
             jax.block_until_ready(obj_params)
         if monitor is not None:
             monitor.snapshot("object", meshes=[
@@ -448,10 +499,14 @@ class ReconFitter:
                     obj_params, points=self.template_verts))[0],
                  self.template_faces, monitor.OBJ_COLOR),
             ])
-        return {
+        out = {
             "smpl_params": smpl_params,
             "obj_params": obj_params,
             "obj_R": project_so3(obj_params["obj_R"]),
             "pclouds": pc,
             "scale": scale,
         }
+        if self.record_traces:
+            out["smpl_trace"] = smpl_trace
+            out["obj_trace"] = obj_trace
+        return out

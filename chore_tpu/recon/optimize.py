@@ -7,11 +7,19 @@ phase is ONE jitted lax.while_loop: the carry holds (params, adam state,
 iteration, prev_loss, PRNG key), parameter subsets are frozen via an optax
 mask (instead of constructing new torch optimizers), and the early-stop
 test runs on-device -- no host sync per iteration.
+
+One run_phase corresponds to one reference OPTIMIZER LIFETIME, not one
+description string: the reference rebuilds torch Adam at 'global'->'smpl
+all pose' and at each object-phase switch, but NOT at 'smpl all pose' ->
+'kpts' (recon_fit_behave.py:260-264 builds no new optimizer there), so the
+pose+kpts span is a single phase here whose loss closure switches on the
+iteration index -- Adam moments and step count carry across the switch
+exactly as in the reference.
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -20,14 +28,13 @@ import optax
 
 @dataclasses.dataclass(frozen=True)
 class PhaseSpec:
-    """One optimization phase.
+    """One optimization phase (= one reference optimizer lifetime).
 
     Attributes:
       lr: Adam learning rate.
       n_iters: max outer iterations.
       steps_per_iter: grad steps per iteration (reference steps_per_iter=10).
       trainable: pytree of bools matching params (True = optimized).
-      decay_fn: iteration -> weight-decay argument ``it`` of w*cst/(1+it).
       early_stop_after: fraction of n_iters before early stop can trigger
         (reference: it > 0.25 * max_iter); None disables early stopping.
       early_stop_min_iter: absolute local-iteration gate; overrides
@@ -44,17 +51,20 @@ class PhaseSpec:
     n_iters: int
     steps_per_iter: int = 10
     trainable: object = None
-    decay_fn: Callable = lambda it: 1.0
     early_stop_after: Optional[float] = None
     early_stop_min_iter: Optional[float] = None
     early_stop_rel: float = 1e-3
 
 
-def run_phase(loss_fn, params, spec: PhaseSpec, key=None, prev_loss=300.0):
+def run_phase(loss_fn, params, spec: PhaseSpec, key=None, prev_loss=300.0,
+              record=False):
     """Run one phase.
 
     Args:
-      loss_fn: (params, decay, key) -> (total_loss, aux_dict). Must be pure.
+      loss_fn: (params, it, key) -> (total_loss, aux_dict). Must be pure.
+        ``it`` is the phase-local outer iteration as a traced int32; the
+        closure derives the reference's weight-decay argument (and any
+        iteration-dependent loss switching, e.g. pose -> kpts) from it.
       params: parameter pytree.
       spec: PhaseSpec.
       key: PRNG key (threaded; split per step for e.g. SVD jitter).
@@ -63,9 +73,17 @@ def run_phase(loss_fn, params, spec: PhaseSpec, key=None, prev_loss=300.0):
         phases, updating after every inner step
         (recon_fit_behave.py:236,280-281 and :108,162) -- thread the
         returned final loss into the next phase to match.
+      record: when True, run a fixed-length scan instead of the early-exit
+        while_loop and ALSO return the per-step loss trace. Semantically
+        identical (post-stop steps are frozen no-ops), but every iteration
+        is traced, so use for debugging/verification, not production.
 
     Returns:
-      (params, final_loss, n_iters_run)
+      (params, final_loss, n_iters_run), plus a trace dict
+      {"loss": (n_iters, steps), "live": (n_iters, steps) bool} appended
+      when ``record`` -- loss[i, j] is the loss evaluated (pre-update) at
+      inner step j of iteration i; live marks steps executed before the
+      early stop fired.
     """
     key = key if key is not None else jax.random.PRNGKey(0)
     mask = spec.trainable
@@ -104,48 +122,70 @@ def run_phase(loss_fn, params, spec: PhaseSpec, key=None, prev_loss=300.0):
         -> backward -> step -> test-and-maybe-stop -> prev_loss=loss
         (recon_fit_behave.py:271-281). Once ``done``, the step is a frozen
         no-op (the reference returns mid-iteration; lax.scan cannot break,
-        so remaining steps are skipped via cond)."""
-        params, opt_state, it, prev_loss, done, k = carry
+        so remaining steps are skipped via cond).
+
+        CRITICAL reference semantics: ``optimizer.zero_grad()`` runs once
+        per OUTER iteration, not per step (recon_fit_behave.py:243,266-273
+        and :117-136) -- the 10 inner backward() calls ACCUMULATE into
+        .grad, so inner step i applies Adam to the SUM of the gradients of
+        steps 0..i. ``gsum`` reproduces exactly that (trajectory-parity
+        oracle: tests/test_trajectory_parity.py; a fresh-gradient variant
+        visibly damps the reference's characteristic smplz oscillation)."""
+        params, opt_state, it, prev_loss, done, k, gsum = carry
         k, sub = jax.random.split(k)
+        was_live = ~done
 
         def live(args):
-            params, opt_state, prev_loss, done = args
-            decay = spec.decay_fn(it)
+            params, opt_state, prev_loss, done, gsum = args
             (loss, _aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, decay, sub
+                params, it, sub
             )
-            updates, opt_state = tx.update(grads, opt_state, params)
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+            updates, opt_state = tx.update(gsum, opt_state, params)
             params = optax.apply_updates(params, updates)
             if stop_enabled:
                 rel = jnp.abs(prev_loss - loss) / jnp.maximum(prev_loss, 1e-9)
                 plateau = rel < prev_loss * spec.early_stop_rel
                 done = plateau & (it > stop_gate)
-            return params, opt_state, loss, done
+            return params, opt_state, loss, done, gsum
 
-        params, opt_state, prev_loss, done = jax.lax.cond(
-            done, lambda a: a, live, (params, opt_state, prev_loss, done)
+        params, opt_state, prev_loss, done, gsum = jax.lax.cond(
+            done, lambda a: a, live,
+            (params, opt_state, prev_loss, done, gsum)
         )
-        return (params, opt_state, it, prev_loss, done, k), None
+        # frozen steps emit the stale prev_loss, masked by was_live
+        return (params, opt_state, it, prev_loss, done, k, gsum), (
+            prev_loss, was_live
+        )
 
     def iteration(carry):
         params, opt_state, it, prev_loss, k, done, n_run = carry
-        (params, opt_state, _, prev_loss, done, k), _ = jax.lax.scan(
-            one_step, (params, opt_state, it, prev_loss, done, k), None,
-            length=spec.steps_per_iter,
+        started = ~done
+        # zero_grad() at the top of the outer iteration (reference :243)
+        gsum = jax.tree_util.tree_map(jnp.zeros_like, params)
+        (params, opt_state, _, prev_loss, done, k, _), ys = jax.lax.scan(
+            one_step, (params, opt_state, it, prev_loss, done, k, gsum),
+            None, length=spec.steps_per_iter,
         )
-        return (params, opt_state, it + 1, prev_loss, k, done, n_run + 1)
-
-    def cond(carry):
-        _, _, it, _, _, done, _ = carry
-        return (it < spec.n_iters) & ~done
+        carry = (params, opt_state, it + 1, prev_loss, k, done,
+                 n_run + started.astype(jnp.int32))
+        return carry, ys
 
     init = (
         params, opt_state, jnp.asarray(0),
         jnp.asarray(prev_loss, jnp.float32),
         key, jnp.asarray(False), jnp.asarray(0),
     )
+    if record:
+        carry, (loss_trace, live_trace) = jax.lax.scan(
+            lambda c, _: iteration(c), init, None, length=spec.n_iters
+        )
+        params, _, _, loss, _, _, n_run = carry
+        return params, loss, n_run, {"loss": loss_trace, "live": live_trace}
     params, _, _, loss, _, _, n_run = jax.lax.while_loop(
-        cond, lambda c: iteration(c), init
+        lambda c: (c[2] < spec.n_iters) & ~c[5],
+        lambda c: iteration(c)[0],
+        init,
     )
     return params, loss, n_run
 

@@ -36,7 +36,11 @@ from chore_tpu.ops.rotation import init_object_orientation, project_so3, project
 from chore_tpu.recon import losses as L
 from chore_tpu.recon.generator import Generator, SamplerConfig
 from chore_tpu.recon.optimize import PhaseSpec, freeze_all_except, run_phase
-from chore_tpu.recon.silhouette import SilhouetteLossROI, silhouette_loss
+from chore_tpu.recon.silhouette import (
+    SilhouetteLossROI,
+    offscreen_loss,
+    silhouette_loss,
+)
 from chore_tpu.smpl.assets import load_part_labels
 from chore_tpu.smpl.model import SMPLH, init_params, pack_pose
 from chore_tpu.smpl.priors import make_body_prior, make_hand_prior
@@ -68,6 +72,12 @@ class FitConfig:
     # recon_fit_base.py:373-384). Disable for deterministic
     # trajectory-parity oracles.
     svd_jitter: bool = True
+    # opt-in offscreen-degeneracy guard for the sil phase (PHOSA's
+    # defined-but-unwired compute_offscreen_loss,
+    # reference: recon/obj_pose_roi.py:179-199): keeps a badly-initialized
+    # object from minimizing mask L2 by leaving the ROI. Recommended for
+    # in-the-wild (COCO_WEIGHTS) fits.
+    offscreen_guard: bool = False
 
 
 class ReconFitter:
@@ -310,6 +320,10 @@ class ReconFitter:
                 )
                 ld["scale"] = L.scale_loss(op["obj_s"], cfg.obj_scale)
                 ld["trans"] = jnp.mean((op["obj_t"] - trans_init) ** 2)
+                if cfg.offscreen_guard:
+                    ld["offscreen"] = offscreen_loss(
+                        sil_data, self.template_verts, R,
+                        op["obj_t"], op["obj_s"])
             else:
                 preds_o = query_fn(obj)
                 ld["object"] = L.df_o_loss(preds_o["df"][..., 1])

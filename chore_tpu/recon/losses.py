@@ -45,6 +45,11 @@ BEHAVE_WEIGHTS = {
     "pinit": 5.0**2,
     "rot": 10.0**2,
     "trans": 10.0**2,
+    # offscreen-degeneracy guard (opt-in, FitConfig.offscreen_guard). The
+    # reference defines but never wires compute_offscreen_loss
+    # (obj_pose_roi.py:179-199), so this weight is ours: the hinge is zero
+    # on-screen and grows linearly in NDC units off-screen.
+    "offscreen": 10.0**2,
 }
 
 # in-the-wild variant: stronger pose/contact/keypoint regularization

@@ -186,3 +186,28 @@ def silhouette_loss(sil_data, template_verts, faces, R, t, s, rend_size=256):
     image = sil_data["keep_mask"] * image
     loss = jnp.sum((image - sil_data["image_ref"]) ** 2, axis=(1, 2)).mean()
     return loss, image
+
+
+def offscreen_loss(sil_data, template_verts, R, t, s, far=100.0):
+    """Offscreen-degeneracy penalty (PHOSA's guard): hinge on how far the
+    projected object verts leave the ROI frustum, so a bad init cannot
+    minimize the mask L2 by drifting out of the crop entirely.
+
+    Equivalent of the reference's defined-but-never-called
+    compute_offscreen_loss (reference: recon/obj_pose_roi.py:179-199):
+    sum over verts of relu(xy - 1) + relu(-1 - xy) + relu(-z) +
+    relu(z - far), batch-meaned. Opt-in via FitConfig.offscreen_guard;
+    zero whenever the object projects fully inside the ROI.
+    """
+    verts = jnp.einsum("vd,bde->bve", jnp.asarray(template_verts), R,
+                       precision=jax.lax.Precision.HIGHEST)
+    verts = (verts + t[:, None, :]) * s[:, None, None]
+    ndc = project_unit_k(verts, sil_data["k_rois"])
+    xy, z = ndc[..., :2], ndc[..., 2]
+    per_ex = (
+        jnp.sum(jnp.maximum(xy - 1.0, 0.0), axis=(1, 2))
+        + jnp.sum(jnp.maximum(-1.0 - xy, 0.0), axis=(1, 2))
+        + jnp.sum(jnp.maximum(-z, 0.0), axis=1)
+        + jnp.sum(jnp.maximum(z - far, 0.0), axis=1)
+    )
+    return per_ex.mean()

@@ -151,3 +151,83 @@ class TestEmptyMask:
         loss, img = sil(jnp.eye(3)[None],
                         jnp.asarray([[0.0, 0.0, 2.2]]), jnp.ones(1))
         assert float(loss) == 0.0
+
+
+class TestOffscreenGuard:
+    """Opt-in offscreen-degeneracy penalty (silhouette.offscreen_loss,
+    equivalent of the reference's defined-but-unwired
+    compute_offscreen_loss, obj_pose_roi.py:179-199)."""
+
+    def _sil(self):
+        from chore_tpu.recon.silhouette import SilhouetteLossROI
+
+        tv, tf = octasphere(radius=0.15, subdiv=1)
+        mask = np.zeros((512, 512), np.float32)
+        mask[200:300, 200:300] = 1.0
+        sil = SilhouetteLossROI(
+            person_masks=np.zeros((1, 512, 512), np.float32),
+            obj_masks=mask[None],
+            template_verts=tv,
+            template_faces=tf,
+            crop_centers=np.array([[1018.0, 779.0]], np.float32),
+        )
+        return sil, tv
+
+    def test_zero_on_screen_positive_off_screen(self):
+        from chore_tpu.recon.silhouette import offscreen_loss
+
+        sil, tv = self._sil()
+        R = jnp.eye(3)[None]
+        s = jnp.ones(1)
+        on = offscreen_loss(sil.data, tv, R, jnp.asarray([[0.0, 0.0, 2.2]]),
+                            s)
+        off = offscreen_loss(sil.data, tv, R,
+                             jnp.asarray([[3.0, 0.0, 2.2]]), s)
+        assert float(on) == 0.0
+        assert float(off) > 1.0
+
+    def test_off_roi_init_pulled_back(self):
+        """A degenerate init outside the ROI sits on a mask-L2 plateau
+        (rendered silhouette empty -> zero mask gradient); the sil phase
+        WITH the guard pulls it back into the frustum, WITHOUT it the
+        object stays lost."""
+        from chore_tpu.recon import losses as L
+        from chore_tpu.recon.optimize import PhaseSpec, run_phase
+        from chore_tpu.recon.silhouette import offscreen_loss, silhouette_loss
+
+        sil, tv = self._sil()
+        _, tf = octasphere(radius=0.15, subdiv=1)
+        t_bad = jnp.asarray([[1.5, 0.0, 2.2]])  # far outside the ROI
+
+        def make_loss(guard):
+            def loss_fn(p, it, key):
+                ld = {}
+                R = jnp.eye(3)[None]
+                ld["mask"], _ = silhouette_loss(
+                    sil.data, tv, tf, R, p["t"], p["s"])
+                ld["trans"] = jnp.mean((p["t"] - t_bad) ** 2) * 0.0
+                if guard:
+                    ld["offscreen"] = offscreen_loss(
+                        sil.data, tv, R, p["t"], p["s"])
+                return L.weighted_sum(ld, L.COCO_WEIGHTS, it + 1.0), ld
+
+            return loss_fn
+
+        # Adam moves ~lr per step per coordinate; pulling x from 1.5 back
+        # into the narrow ROI frustum (boundary ~x=0.15 at z=2.2) needs
+        # ~1.4 m of travel, so the unit test runs a hotter lr than the
+        # production sil phase (0.02 * 300 steps = 6 m of budget)
+        spec = PhaseSpec(lr=0.02, n_iters=30, steps_per_iter=10)
+
+        def in_frustum(t):
+            from chore_tpu.ops.rasterizer import project_unit_k
+
+            ndc = project_unit_k(
+                jnp.asarray(tv)[None] + t[:, None], sil.data["k_rois"])
+            return bool(jnp.all(jnp.abs(ndc[..., :2]) <= 1.0))
+
+        p0 = {"t": t_bad, "s": jnp.ones(1)}
+        out_guard, _, _ = run_phase(make_loss(True), p0, spec)
+        out_plain, _, _ = run_phase(make_loss(False), p0, spec)
+        assert in_frustum(out_guard["t"]), np.asarray(out_guard["t"])
+        assert not in_frustum(out_plain["t"]), np.asarray(out_plain["t"])

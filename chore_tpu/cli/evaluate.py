@@ -24,6 +24,9 @@ def main():
     parser.add_argument("-i", "--id", default=None,
                         help="'smpl' evaluates the SMPL mesh only")
     parser.add_argument("--outdir", default="results")
+    parser.add_argument("--seq-workers", type=int, default=4,
+                        help="sequences evaluated concurrently (mesh IO "
+                             "overlap; 1 = serial)")
     args = parser.parse_args()
 
     paths = load_paths()
@@ -32,7 +35,8 @@ def main():
     seqs = args.seqs or sorted(glob(f"{behave}/*/"))
     ev = ReconEvaluator(recon, behave, smpl_only=args.id == "smpl",
                         outdir=args.outdir)
-    ev.eval_seqs(seqs, args.save_name, args.tid)
+    ev.eval_seqs(seqs, args.save_name, args.tid,
+                 seq_workers=args.seq_workers)
 
 
 if __name__ == "__main__":

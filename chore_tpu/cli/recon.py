@@ -42,10 +42,13 @@ def recon_fit(cfg: ChoreConfig, seq_folder, save_name, outpath="recon_out",
               coco=False, obj_name=None, start=0, end=None, batch_size=1,
               redo=False, tid=1, use_silhouette=True, data_parallel=False,
               exp_root="experiments", fit_cfg=None, sampler_cfg=None,
-              debug_viz=None):
+              debug_viz=None, fused=False, offscreen_guard=False):
     """fit_cfg/sampler_cfg override the release schedule (quick runs,
     tests); exp_root relocates the checkpoint search; debug_viz writes
-    per-stage renders to that directory (utils/viewer.py)."""
+    per-stage renders to that directory (utils/viewer.py); fused folds
+    the whole fit into one jitted program (FitConfig.fused_pipeline);
+    offscreen_guard enables the sil-phase off-ROI penalty
+    (FitConfig.offscreen_guard, recommended with --coco)."""
     info_file = os.path.join(seq_folder, "info.json")
     if os.path.isfile(info_file):
         info = SeqInfo(seq_folder)
@@ -70,9 +73,20 @@ def recon_fit(cfg: ChoreConfig, seq_folder, save_name, outpath="recon_out",
         batch_size = -(-max(batch_size, n) // n) * n  # multiple of devices
         print(f"data-parallel fitting over {n} devices, "
               f"batch {batch_size}")
+    fcfg = fit_cfg if fit_cfg is not None else cfg.fit_config()
+    if fused or offscreen_guard:
+        import dataclasses
+
+        fcfg = dataclasses.replace(
+            fcfg, fused_pipeline=fused or fcfg.fused_pipeline,
+            offscreen_guard=offscreen_guard or fcfg.offscreen_guard)
+    if debug_viz and fcfg.fused_pipeline:
+        print("--debug-viz needs the staged pipeline; ignoring --fused")
+        import dataclasses
+
+        fcfg = dataclasses.replace(fcfg, fused_pipeline=False)
     fitter = ReconFitter(model, params, smplh, tv, tf, weights=weights,
-                         cfg=fit_cfg if fit_cfg is not None
-                         else cfg.fit_config(),
+                         cfg=fcfg,
                          sampler_cfg=sampler_cfg if sampler_cfg is not None
                          else cfg.sampler_config(), mesh=mesh)
     prep = TestImagePrep(image_size=tuple(cfg.net_img_size),
@@ -150,6 +164,12 @@ def main():
                         help="shard frame batches over all chips")
     parser.add_argument("--debug-viz", default=None,
                         help="write per-stage debug renders to this dir")
+    parser.add_argument("--fused", action="store_true",
+                        help="single whole-fit jit per batch (one dispatch "
+                             "instead of five; see FitConfig.fused_pipeline)")
+    parser.add_argument("--offscreen-guard", action="store_true",
+                        help="sil-phase off-ROI penalty (recommended with "
+                             "--coco; see FitConfig.offscreen_guard)")
     parser.add_argument("--exp-root", default="experiments",
                         help="checkpoint search root")
     args = parser.parse_args()
@@ -161,7 +181,8 @@ def main():
               coco=args.coco, obj_name=args.obj_name, start=args.start,
               end=args.end, batch_size=args.batch_size, redo=args.redo,
               tid=args.tid, data_parallel=args.data_parallel,
-              debug_viz=args.debug_viz, exp_root=args.exp_root)
+              debug_viz=args.debug_viz, exp_root=args.exp_root,
+              fused=args.fused, offscreen_guard=args.offscreen_guard)
 
 
 if __name__ == "__main__":

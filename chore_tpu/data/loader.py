@@ -130,7 +130,7 @@ class DataLoader:
             # thread forever, pinning staged batches and the worker pool
             while not stop.is_set():
                 try:
-                    q.put(item, timeout=0.1)
+                    q.put(item, timeout=0.02)
                     return True
                 except queue.Full:
                     continue
@@ -143,11 +143,20 @@ class DataLoader:
             try:
                 if self.worker_type == "process" and self.num_workers > 0:
                     pool = self._process_pool()
+                    # one batch in flight ahead: submit batch i+1 before
+                    # collecting/collating batch i, so the workers never
+                    # idle while the producer thread collates + enqueues
+                    pending = None
                     for b in batches:
                         if stop.is_set():
                             return
-                        items = pool.map(_worker_get, list(b))
-                        if not put_or_stop(collate(items)):
+                        nxt = pool.map_async(_worker_get, list(b))
+                        if pending is not None:
+                            if not put_or_stop(collate(pending.get())):
+                                return
+                        pending = nxt
+                    if pending is not None and not stop.is_set():
+                        if not put_or_stop(collate(pending.get())):
                             return
                 else:
                     with ThreadPoolExecutor(max(self.num_workers, 1)) as pool:
@@ -211,7 +220,7 @@ def prefetch_to_device(iterator, size=2, transfer=None):
         # pinning staged device batches and the source loader's workers
         while not stop.is_set():
             try:
-                q.put(item, timeout=0.1)
+                q.put(item, timeout=0.02)
                 return True
             except queue.Full:
                 continue

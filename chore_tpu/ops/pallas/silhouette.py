@@ -36,6 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from chore_tpu.ops.rasterizer import COVERAGE_CUTOFF
+
 
 def _edge_d(px, py, e_ref, sl):
     """One edge's affine evaluation as VPU broadcast multiply-adds.
@@ -56,19 +58,38 @@ def _edge_d(px, py, e_ref, sl):
     return px * A + py * B + C
 
 
+def _box_d(pxs, pys, e0_ref, sl):
+    """AABB plane distances (pre-scaled by 1/sigma): block-0 rows 3..6
+    carry [xmin, xmax, ymin, ymax]/sigma per face; pxs/pys are the
+    pixel coords/sigma. Caps the edge-LINE min, which misclassifies the
+    thin wedge beyond a sliver's corners as near-or-inside (see
+    rasterizer._signed_distance)."""
+    bx0 = e0_ref[3:4, sl]
+    bx1 = e0_ref[4:5, sl]
+    by0 = e0_ref[5:6, sl]
+    by1 = e0_ref[6:7, sl]
+    return jnp.minimum(jnp.minimum(pxs - bx0, bx1 - pxs),
+                       jnp.minimum(pys - by0, by1 - pys))
+
+
 def _fwd_kernel(pix_ref, e0_ref, e1_ref, e2_ref, out_ref, *, tile_f):
     n_chunks = e0_ref.shape[1] // tile_f
     px = pix_ref[:, 0:1]  # (TILE_P, 1)
     py = pix_ref[:, 1:2]
+    pxs = pix_ref[:, 2:3]  # px / sigma (for the AABB cap)
+    pys = pix_ref[:, 3:4]
 
     def chunk(j, acc):
         sl = pl.ds(j * tile_f, tile_f)
         d0 = _edge_d(px, py, e0_ref, sl)
         d1 = _edge_d(px, py, e1_ref, sl)
         d2 = _edge_d(px, py, e2_ref, sl)
-        dmin = jnp.minimum(jnp.minimum(d0, d1), d2)
-        return acc + jnp.sum(
-            jax.nn.sigmoid(dmin), axis=1, keepdims=True)
+        dmin = jnp.minimum(jnp.minimum(jnp.minimum(d0, d1), d2),
+                           _box_d(pxs, pys, e0_ref, sl))
+        # windowed support (see rasterizer.COVERAGE_CUTOFF): far tails
+        # must be exactly 0 or thousands of faces sum to >0.5 background
+        cov = jnp.where(dmin > -COVERAGE_CUTOFF, jax.nn.sigmoid(dmin), 0.0)
+        return acc + jnp.sum(cov, axis=1, keepdims=True)
 
     acc = jnp.zeros((px.shape[0], 1), jnp.float32)
     out_ref[:] = jax.lax.fori_loop(0, n_chunks, chunk, acc)
@@ -87,6 +108,8 @@ def _bwd_kernel(pix_ref, e0_ref, e1_ref, e2_ref, g_ref,
     n_chunks = e0_ref.shape[1] // tile_f
     px = pix_ref[:, 0:1]  # (TILE_P, 1)
     py = pix_ref[:, 1:2]
+    pxs = pix_ref[:, 2:3]
+    pys = pix_ref[:, 3:4]
     g = g_ref[:]  # (TILE_P, 1) upstream dL/d(raw coverage sum)
 
     def chunk(j, _):
@@ -94,13 +117,23 @@ def _bwd_kernel(pix_ref, e0_ref, e1_ref, e2_ref, g_ref,
         d0 = _edge_d(px, py, e0_ref, sl)
         d1 = _edge_d(px, py, e1_ref, sl)
         d2 = _edge_d(px, py, e2_ref, sl)
-        dmin = jnp.minimum(jnp.minimum(d0, d1), d2)
+        t0 = pxs - e0_ref[3:4, sl]
+        t1 = e0_ref[4:5, sl] - pxs
+        t2 = pys - e0_ref[5:6, sl]
+        t3 = e0_ref[6:7, sl] - pys
+        dbox = jnp.minimum(jnp.minimum(t0, t1), jnp.minimum(t2, t3))
+        dedge = jnp.minimum(jnp.minimum(d0, d1), d2)
+        dmin = jnp.minimum(dedge, dbox)
         s = jax.nn.sigmoid(dmin)
-        ds = g * s * (1.0 - s)  # (TILE_P, TILE_F)
-        # min subgradient: first edge attaining the min (argmin semantics)
-        m0 = (d0 <= d1) & (d0 <= d2)
-        m1 = (~m0) & (d1 <= d2)
-        m2 = ~(m0 | m1)
+        # same windowed support as forward (XLA-path parity)
+        ds = jnp.where(dmin > -COVERAGE_CUTOFF,
+                       g * s * (1.0 - s), 0.0)  # (TILE_P, TILE_F)
+        # min subgradient: first term attaining the min (argmin semantics;
+        # edges win a box tie to match jnp.minimum(dedge, dbox) autodiff)
+        mbox = dbox < dedge
+        m0 = (~mbox) & (d0 <= d1) & (d0 <= d2)
+        m1 = (~mbox) & ~m0 & (d1 <= d2)
+        m2 = (~mbox) & ~(m0 | m1)
         for m, de_ref in ((m0, de0_ref), (m1, de1_ref), (m2, de2_ref)):
             w = jnp.where(m, ds, 0.0)  # (TILE_P, TILE_F)
             # d(coeffs): contract over the pixel tile on the VPU (sublane
@@ -111,23 +144,37 @@ def _bwd_kernel(pix_ref, e0_ref, e1_ref, e2_ref, g_ref,
             de_ref[0:1, sl] += dA
             de_ref[1:2, sl] += dB
             de_ref[2:3, sl] += dC
+        # AABB rows (block 0, rows 3..6): d(t0)/d(xmin_s) = -1,
+        # d(t1)/d(xmax_s) = +1, etc., routed to the single active term
+        n0 = (t0 <= t1) & (t0 <= t2) & (t0 <= t3)
+        n1 = ~n0 & (t1 <= t2) & (t1 <= t3)
+        n2 = ~(n0 | n1) & (t2 <= t3)
+        n3 = ~(n0 | n1 | n2)
+        for n, row, sgn in ((n0, 3, -1.0), (n1, 4, 1.0),
+                            (n2, 5, -1.0), (n3, 6, 1.0)):
+            w = jnp.where(mbox & n, ds, 0.0)
+            de0_ref[row:row + 1, sl] += sgn * jnp.sum(w, axis=0,
+                                                      keepdims=True)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk, 0)
 
 
-def _pix_aug(image_size):
-    """(P, 8) pixel rows [px, py, 1, 0...] at NDC pixel centers."""
+def _pix_aug(image_size, inv_sigma):
+    """(P, 8) pixel rows [px, py, px/sigma, py/sigma, 1, 0...] at NDC
+    pixel centers (the scaled columns feed the AABB cap)."""
     coords = (2.0 * jnp.arange(image_size) + 1.0) / image_size - 1.0
     gy, gx = jnp.meshgrid(coords, coords, indexing="ij")
     p = gx.size
+    gx = gx.reshape(p, 1)
+    gy = gy.reshape(p, 1)
     return jnp.concatenate([
-        gx.reshape(p, 1), gy.reshape(p, 1), jnp.ones((p, 1)),
-        jnp.zeros((p, 5)),
+        gx, gy, gx * inv_sigma, gy * inv_sigma, jnp.ones((p, 1)),
+        jnp.zeros((p, 3)),
     ], axis=-1).astype(jnp.float32)
 
 
-def _pad_inputs(e, image_size, tile_p, tile_f):
+def _pad_inputs(e, image_size, tile_p, tile_f, inv_sigma):
     """Pad faces (C = -1e9 -> zero coverage) and pixels (rows of zeros,
     sliced off after) to tile multiples."""
     f = e.shape[-1]
@@ -135,18 +182,19 @@ def _pad_inputs(e, image_size, tile_p, tile_f):
     fpad = (-f) % tile_f or (tile_f if f == 0 else 0)
     pad_col = jnp.zeros((3, 8, fpad), e.dtype).at[:, 2, :].set(-1e9)
     ep = jnp.concatenate([e, pad_col], axis=-1) if fpad else e
-    pix = _pix_aug(image_size)
+    pix = _pix_aug(image_size, inv_sigma)
     p = pix.shape[0]
     ppad = (-p) % tile_p
     pix = jnp.pad(pix, ((0, ppad), (0, 0)))
     return ep, pix, p, tile_f
 
 
-@functools.partial(jax.jit, static_argnames=("image_size", "tile_p",
-                                              "tile_f"))
-def _coverage_fwd_call(e, image_size, tile_p=512, tile_f=512):
+@functools.partial(jax.jit, static_argnames=("image_size", "inv_sigma",
+                                              "tile_p", "tile_f"))
+def _coverage_fwd_call(e, image_size, inv_sigma, tile_p=512, tile_f=512):
     """e: (3, 8, F) edge coefficients -> (P,) raw coverage sums."""
-    ep, pix, p, tile_f = _pad_inputs(e, image_size, tile_p, tile_f)
+    ep, pix, p, tile_f = _pad_inputs(e, image_size, tile_p, tile_f,
+                                     inv_sigma)
     grid = (pix.shape[0] // tile_p,)
     fp = ep.shape[-1]
     out = pl.pallas_call(
@@ -166,12 +214,13 @@ def _coverage_fwd_call(e, image_size, tile_p=512, tile_f=512):
     return out[:p, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("image_size", "tile_p",
-                                              "tile_f"))
-def _coverage_bwd_call(e, g, image_size, tile_p=512, tile_f=512):
+@functools.partial(jax.jit, static_argnames=("image_size", "inv_sigma",
+                                              "tile_p", "tile_f"))
+def _coverage_bwd_call(e, g, image_size, inv_sigma, tile_p=512, tile_f=512):
     """g: (P,) upstream grads -> (3, 8, F) coefficient grads."""
     f = e.shape[-1]
-    ep, pix, p, tile_f = _pad_inputs(e, image_size, tile_p, tile_f)
+    ep, pix, p, tile_f = _pad_inputs(e, image_size, tile_p, tile_f,
+                                     inv_sigma)
     # padded pixel rows carry zero upstream grad -> zero contribution
     g = jnp.pad(g, (0, pix.shape[0] - p))
     grid = (pix.shape[0] // tile_p,)
@@ -198,19 +247,20 @@ def _coverage_bwd_call(e, g, image_size, tile_p=512, tile_f=512):
     return jnp.stack([d[:, :f] for d in de], axis=0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def coverage_sums(e, image_size):
-    """Raw per-pixel coverage sums sum_f sigmoid(min_e d_ef) from edge
-    coefficients e (3 edges, 8 rows [A;B;C;pad], F faces)."""
-    return _coverage_fwd_call(e, image_size)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def coverage_sums(e, image_size, inv_sigma):
+    """Raw per-pixel coverage sums sum_f sigmoid(min(min_e d_ef, d_box))
+    from edge coefficients e (3 edges, 8 rows [A;B;C;xmin;xmax;ymin;ymax;
+    pad] -- the AABB rows live in block 0 only, F faces)."""
+    return _coverage_fwd_call(e, image_size, inv_sigma)
 
 
-def _cov_fwd(e, image_size):
-    return _coverage_fwd_call(e, image_size), e
+def _cov_fwd(e, image_size, inv_sigma):
+    return _coverage_fwd_call(e, image_size, inv_sigma), e
 
 
-def _cov_bwd(image_size, e, g):
-    return (_coverage_bwd_call(e, g, image_size),)
+def _cov_bwd(image_size, inv_sigma, e, g):
+    return (_coverage_bwd_call(e, g, image_size, inv_sigma),)
 
 
 coverage_sums.defvjp(_cov_fwd, _cov_bwd)
@@ -249,7 +299,17 @@ def edge_coeffs(verts_ndc_one, faces, sigma):
 
     e = jnp.stack([edge(a, b), edge(b, c), edge(c, a)], axis=0)  # (3, 3, F)
     f = faces.shape[0]
-    pad = jnp.zeros((3, 5, f), e.dtype)
+    # block-0 rows 3..6: the face AABB scaled by 1/sigma, for the in-kernel
+    # cap on the edge-line min (see _box_d / rasterizer._signed_distance).
+    # Differentiable: jnp.min/max route the gradient to the extreme vertex.
+    inv_sigma = 1.0 / sigma
+    box = jnp.stack([
+        jnp.min(xy[..., 0], axis=1), jnp.max(xy[..., 0], axis=1),
+        jnp.min(xy[..., 1], axis=1), jnp.max(xy[..., 1], axis=1),
+    ], axis=0) * inv_sigma  # (4, F)
+    pad0 = jnp.concatenate([box, jnp.zeros((1, f), e.dtype)], axis=0)
+    pad12 = jnp.zeros((2, 5, f), e.dtype)
+    pad = jnp.concatenate([pad0[None], pad12], axis=0)  # (3, 5, F)
     return jnp.concatenate([e, pad], axis=1)  # (3, 8, F)
 
 
@@ -262,7 +322,7 @@ def soft_silhouette_pallas(verts_ndc, faces, image_size=256, sigma=None):
 
     def one(v):
         e = edge_coeffs(v, faces, sigma)
-        raw = coverage_sums(e, image_size)
+        raw = coverage_sums(e, image_size, 1.0 / sigma)
         return jnp.clip(raw, 0.0, 1.0).reshape(image_size, image_size)
 
     return jax.vmap(one)(verts_ndc)

@@ -14,9 +14,10 @@ coverage -> soft-OR over faces computed in log space. This is naturally
 differentiable (XLA derives the backward), maps to the VPU as a dense
 pixels x faces computation, and is tiled over faces to bound memory.
 
-Conventions match NMR (projection.py:6-43, rasterize_cuda_kernel.cu:131-132):
-intrinsics in unit image coords (orig_size=1), v flipped, pixel centers at
-(2i+1)/S - 1 in NDC.
+Conventions: intrinsics in unit image coords (orig_size=1, as NMR's
+projection.py:6-43), photo-oriented v (see :func:`project_unit_k` — NMR's
+projection v-flip and its output row reversal cancel), pixel centers at
+(2i+1)/S - 1 in NDC (rasterize_cuda_kernel.cu:131-132).
 """
 from __future__ import annotations
 
@@ -28,15 +29,34 @@ import jax.numpy as jnp
 
 def project_unit_k(verts, K, eps=1e-9):
     """Project (B, V, 3) camera-space verts with (B, 3, 3) unit-coord
-    intrinsics -> (B, V, 3) NDC [u, v, z] (v flipped, NMR convention)."""
+    intrinsics -> (B, V, 3) NDC [u, v, z], photo-oriented: +y in camera
+    space (down in the image) maps to larger v, and our rasterizers put
+    v=-1 at row 0, so rendered images match the input photo / net-input
+    masks directly.
+
+    NMR flips v in projection (projection.py:39 ``v = orig_size - v``) AND
+    reverses the output rows after rasterizing (rasterize.py:319-331) --
+    the two cancel exactly. Copying only the projection flip (as an early
+    version did) renders everything vertically mirrored against
+    ``image_ref`` and silently breaks the silhouette loss."""
     x = verts[..., 0] / (verts[..., 2] + eps)
     y = verts[..., 1] / (verts[..., 2] + eps)
     u = K[..., 0:1, 0] * x + K[..., 0:1, 2]
     v = K[..., 1:2, 1] * y + K[..., 1:2, 2]
-    v = 1.0 - v
     return jnp.stack(
         [2.0 * u - 1.0, 2.0 * v - 1.0, verts[..., 2]], axis=-1
     )
+
+
+# Coverage support cutoff in sigma units: a face contributes exactly zero
+# coverage to pixels farther than CUT*sigma outside it. Without this the
+# sum-and-clamp union accumulates far-field sigmoid tails across faces --
+# harmless at 128 faces, but at a realistic 4.6k-face template
+# sigmoid(-8)*4608 > 1 turned most of the BACKGROUND into >0.5 coverage
+# and broke the silhouette loss (found by the round-4 sil convergence
+# study's GT-pose anchor). sigmoid(-16) = 1.1e-7 keeps the residual tail
+# < 0.01 up to ~90k faces; the discarded gradient there is O(1e-7).
+COVERAGE_CUTOFF = 16.0
 
 
 def _pixel_grid(image_size):
@@ -91,7 +111,37 @@ def _signed_distance(pix, tri, eps=1e-12):
     degenerate = jnp.abs(area2) < 1e-12
     d = d * sign[None, :, None]
     d = jnp.where(degenerate[None, :, None], -1e6, d)
-    return jnp.min(d, axis=-1)  # (P, F)
+    # min via explicit selects, not jnp.min: reduce-min SPLITS the
+    # gradient across tied arguments, while the Pallas kernel's argmin
+    # masks route it to the FIRST minimizer. Ties are dense here (an
+    # axis-aligned edge equals its bbox plane on every pixel; symmetric
+    # meshes tie edge-vs-edge), so the subgradient convention must match
+    # or XLA-vs-kernel gradient parity drifts by percents.
+    def wmin(a, b):
+        return jnp.where(a <= b, a, b)  # ties -> a (first-wins)
+
+    dmin = wmin(wmin(d[..., 0], d[..., 1]), d[..., 2])  # (P, F)
+    # Cap with the triangle's AABB plane distances. The edge-LINE min
+    # wildly overestimates proximity beyond the corners: for a sliver
+    # (near-edge-on face -- every dense mesh shows a ring of them at its
+    # occluding contour) the two long edge lines are nearly parallel, so
+    # the thin wedge extending far beyond the short end reads as
+    # near-or-INSIDE and painted full coverage across the image (found by
+    # the round-4 sil study's GT-pose anchor: a 4.6k-face chair filled
+    # ~40% of the background at coverage 1.0). min-ing in the 4 exact
+    # axis-aligned bbox distances bounds the support to the face's
+    # neighborhood; inside fat triangles it only rounds the corners of
+    # the sigmoid falloff (true triangle subset of its bbox).
+    xmin = jnp.min(tri[..., 0], axis=-1)  # (F,) over the 3 verts
+    xmax = jnp.max(tri[..., 0], axis=-1)
+    ymin = jnp.min(tri[..., 1], axis=-1)
+    ymax = jnp.max(tri[..., 1], axis=-1)
+    px = pix[:, None, 0]
+    py = pix[:, None, 1]
+    dbox = wmin(wmin(px - xmin[None], xmax[None] - px),
+                wmin(py - ymin[None], ymax[None] - py))
+    # edges win ties against the box (kernel: mbox = dbox < dedge)
+    return jnp.where(dbox < dmin, dbox, dmin)
 
 
 @functools.partial(jax.jit, static_argnames=("image_size", "face_tile"))
@@ -143,8 +193,9 @@ def soft_silhouette(verts_ndc, faces, image_size=256, sigma=None,
         def body(carry, idx):
             tri_c = jax.lax.dynamic_slice_in_dim(tris, idx * face_tile, face_tile)
             ok = jax.lax.dynamic_slice_in_dim(front, idx * face_tile, face_tile)
-            d = _signed_distance(pix, tri_c)  # (P, T)
-            cov = jax.nn.sigmoid(d / sigma) * ok[None, :]
+            d = _signed_distance(pix, tri_c) / sigma  # (P, T)
+            cov = jnp.where(d > -COVERAGE_CUTOFF,
+                            jax.nn.sigmoid(d), 0.0) * ok[None, :]
             # sum-and-clamp union: a soft-OR would dip to 0.75 on interior
             # shared edges (each face covers 0.5 there); summing makes
             # watertight interiors seamless, and the final clamp only kills
@@ -190,6 +241,16 @@ def hard_rasterize(verts_ndc, faces, image_size=256, face_tile=512,
             area = jnp.sum(ev, axis=-1)  # (P, T) twice signed area (const/tri)
             inside = (
                 jnp.all(ev >= 0, axis=-1) | jnp.all(ev <= 0, axis=-1)
+            )
+            # exact bbox guard: the same-sign test misfires in the thin
+            # wedge beyond a sliver's corners (f32 edge values lose the
+            # sign there); the true triangle is a subset of its bbox
+            px, py = pix[:, None, 0], pix[:, None, 1]
+            inside &= (
+                (px >= jnp.min(tri[..., 0], -1)[None])
+                & (px <= jnp.max(tri[..., 0], -1)[None])
+                & (py >= jnp.min(tri[..., 1], -1)[None])
+                & (py <= jnp.max(tri[..., 1], -1)[None])
             )
             w = ev / jnp.where(jnp.abs(area) < 1e-12, 1.0, area)[..., None]
             # barycentric w.r.t. opposite vertices: ev order (ab, bc, ca)

@@ -123,7 +123,8 @@ class ReconEvaluator:
             jnp.asarray(ro), jnp.asarray(gt_verts), jnp.asarray(rec_verts))
         return float(err_s), float(err_o)
 
-    def eval_seq(self, seq, save_name, tid=1):
+    def _seq_errors(self, seq, save_name, tid=1):
+        """All gated frame errors of one sequence (list of (smpl, obj))."""
         reader = ReconDataReader(self.recon_path, seq, check_image=False)
         errors = []
         with ThreadPoolExecutor(4) as pool:
@@ -133,14 +134,33 @@ class ReconEvaluator:
                 r = f.result()
                 if r is not None:
                     errors.append(r)
+        print(f"{seq} done: {len(errors)} frames")
+        return errors
+
+    def eval_seq(self, seq, save_name, tid=1):
+        errors = self._seq_errors(seq, save_name, tid)
         if errors:
             self.errors_dict[basename(seq.rstrip("/"))] = np.asarray(errors)
-        print(f"{seq} done: {len(errors)} frames")
 
-    def eval_seqs(self, seqs, save_name, tid=1):
+    def eval_seqs(self, seqs, save_name, tid=1, seq_workers=1):
+        """Evaluate sequences; ``seq_workers`` > 1 overlaps the mesh IO of
+        several sequences (the reference forks one process per sequence,
+        evaluate.py:133-147; here threads suffice — the PLY/mask reads are
+        the bottleneck and the jitted chamfer is thread-safe and shared,
+        so a full-split evaluation is no longer serialized on IO)."""
         self.errors_dict = {}  # fresh per run; repeated calls must not mix
-        for seq in seqs:
-            self.eval_seq(seq, save_name, tid)
+        if seq_workers <= 1:
+            for seq in seqs:
+                self.eval_seq(seq, save_name, tid)
+        else:
+            with ThreadPoolExecutor(seq_workers) as pool:
+                futs = [(seq, pool.submit(self._seq_errors, seq, save_name,
+                                          tid)) for seq in seqs]
+                for seq, fut in futs:
+                    errors = fut.result()
+                    if errors:
+                        self.errors_dict[basename(seq.rstrip("/"))] = (
+                            np.asarray(errors))
         return self.collect_results(save_name, tid)
 
     # ------------------------------------------------------------------ #

@@ -78,6 +78,17 @@ class FitConfig:
     # object from minimizing mask L2 by leaving the ROI. Recommended for
     # in-the-wild (COCO_WEIGHTS) fits.
     offscreen_guard: bool = False
+    # fuse encode + point generation + SMPL chain + object chain into ONE
+    # jitted program per fit_batch call (5 dispatches -> 1). Same math
+    # (the very same pure stage functions are traced), but XLA fuses the
+    # larger program differently, so results are NOT float-identical to
+    # the staged path: a 1-ulp df difference can flip the generator's
+    # argsort compaction and shift the object init at the mm level.
+    # Trades the staged pipeline's cv2-prep/SMPL-chain overlap for zero
+    # inter-stage dispatch gaps — a win on remote-tunnel backends where
+    # each dispatch pays round-trip latency. Incompatible with
+    # record_traces/monitor (the staged path is the debugging path).
+    fused_pipeline: bool = False
 
 
 class ReconFitter:
@@ -134,6 +145,9 @@ class ReconFitter:
         self._jit_fit_smpl = jax.jit(self._fit_smpl_pure)
         self._jit_fit_object = jax.jit(
             self._fit_object_pure, static_argnames=("use_sil",)
+        )
+        self._jit_fit_all = jax.jit(
+            self._fit_all_pure, static_argnames=("use_sil",)
         )
 
     # ------------------------------------------------------------------ #
@@ -387,6 +401,79 @@ class ReconFitter:
         return obj_params
 
     # ------------------------------------------------------------------ #
+    def _fit_all_pure(self, params, images, crop_center, mocap_poses,
+                      mocap_betas, kpts2d, sil_data, key, use_sil):
+        """The ENTIRE fit as one pure program: encode -> generate human +
+        object clouds -> SMPL chain -> object chain. Same math as the
+        staged path (it calls the same pure stage functions); one XLA
+        program means one dispatch per frame instead of five, removing
+        the inter-stage host/tunnel gaps (BASELINE.md fit profile:
+        ~0.9 s device vs 1.08 s wall across three stage jits).
+
+        ``sil_data`` is prepared host-side (cv2) BEFORE dispatch — the
+        ROI prep needs only the input images, never device results."""
+        k_gen, k_smpl, k_obj = jax.random.split(key, 3)
+        kh, ko = jax.random.split(k_gen)
+        feats, tmpx = self.generator.encode_pure(params, images)
+        pc_h = self.generator.sample_pure(params, feats, tmpx, crop_center,
+                                          kh, 0)
+        pc_o = self.generator.sample_pure(params, feats, tmpx, crop_center,
+                                          ko, 1)
+        human_t = pc_h["centers"][:, :3].at[:, 2].set(self.cfg.z0)
+        smpl_params, scale = self._fit_smpl_pure(
+            params, feats, tmpx, crop_center, mocap_poses, mocap_betas,
+            human_t, kpts2d, k_smpl)
+        obj_params = self._fit_object_pure(
+            params, feats, tmpx, crop_center, smpl_params,
+            pc_o["centers"][:, 3:], pc_o["pca_axis"], human_t, scale,
+            sil_data, k_obj, use_sil)
+        return {
+            "smpl_params": smpl_params,
+            "obj_params": obj_params,
+            "obj_R": project_so3(obj_params["obj_R"]),
+            "pclouds": {"human": pc_h, "object": pc_o},
+            "scale": scale,
+        }
+
+    def _fit_batch_fused(self, images, crop_center, mocap_poses,
+                         mocap_betas, kpts2d, key, use_silhouette):
+        """fit_batch via the single whole-fit jit (cfg.fused_pipeline)."""
+        images_np = np.asarray(images)
+        crop_center_np = np.asarray(crop_center, np.float32)
+        sil_data = None
+        if use_silhouette:
+            with self.timer.phase("silhouette_prep"):
+                sil_data = SilhouetteLossROI(
+                    images_np[..., 3], images_np[..., 4],
+                    self.template_verts, self.template_faces,
+                    crop_center_np,
+                    rend_size=self.cfg.sil_rend_size,
+                    crop_size=self.cfg.crop_size,
+                    net_input=self.cfg.net_in_size,
+                ).data
+        args = {
+            "images": jnp.asarray(images_np),
+            "crop_center": jnp.asarray(crop_center_np),
+            "mp": jnp.asarray(np.asarray(mocap_poses, np.float32)),
+            "mb": jnp.asarray(np.asarray(mocap_betas, np.float32)),
+            "kp": jnp.asarray(np.asarray(kpts2d, np.float32)),
+        }
+        if self.mesh is not None:
+            from chore_tpu.parallel import replicate, shard_batch
+
+            args = shard_batch(args, self.mesh)
+            if sil_data is not None:
+                sil_data = shard_batch(sil_data, self.mesh)
+            key = replicate(key, self.mesh)
+        with self.timer.phase("fit_fused"):
+            out = self._jit_fit_all(
+                self.params, args["images"], args["crop_center"],
+                args["mp"], args["mb"], args["kp"], sil_data, key,
+                use_sil=use_silhouette)
+            jax.block_until_ready(out["obj_params"])
+        return out
+
+    # ------------------------------------------------------------------ #
     def fit_batch(self, images, crop_center, mocap_poses, mocap_betas,
                   kpts2d, key=None, use_silhouette=True, monitor=None):
         """Full per-batch reconstruction (reference fit_recon,
@@ -407,6 +494,11 @@ class ReconFitter:
         the device count (callers pad partial batches; see cli/recon.py).
         """
         key = key if key is not None else jax.random.PRNGKey(0)
+        if self.cfg.fused_pipeline and not self.record_traces \
+                and monitor is None:
+            return self._fit_batch_fused(
+                images, crop_center, mocap_poses, mocap_betas, kpts2d,
+                key, use_silhouette)
         # host copies for the silhouette ROI prep (cv2): reading masks back
         # from the device would cost a ~2 MB/example round trip mid-pipeline
         # (only needed when the silhouette phase runs)

@@ -235,6 +235,10 @@ class Generator:
 
         self._encode = jax.jit(encode)
         self._sample = jax.jit(sample, static_argnums=(5,))
+        # unjitted pure fns, for callers that trace the sampler INSIDE a
+        # larger jit (the fitter's fused whole-fit program)
+        self.encode_pure = encode
+        self.sample_pure = sample
 
     def encode(self, images):
         return self._encode(self.params, jnp.asarray(images))

@@ -96,6 +96,60 @@ class TestFitBatch:
         assert fitter._jit_fit_smpl._cache_size() == before
 
 
+class TestFusedPipeline:
+    def test_fused_matches_staged(self, fitter):
+        """cfg.fused_pipeline folds the five stage dispatches into one jit;
+        the math and the PRNG key splits are identical, so results must
+        match the staged path to trace-recompilation tolerance."""
+        import dataclasses
+
+        images, cc, poses, betas, kpts = _batch()
+        key = jax.random.PRNGKey(7)
+        r_staged = fitter.fit_batch(images, cc, poses, betas, kpts, key=key,
+                                    use_silhouette=True)
+        fused = ReconFitter(
+            fitter.model, fitter.params, fitter.smplh,
+            fitter.template_verts, fitter.template_faces,
+            cfg=dataclasses.replace(FIT, fused_pipeline=True),
+            sampler_cfg=SAMP)
+        r_fused = fused.fit_batch(images, cc, poses, betas, kpts, key=key,
+                                  use_silhouette=True)
+        assert "fit_fused" in fused.timer.summary()
+        for k in ("trans", "global_pose"):
+            np.testing.assert_allclose(
+                np.asarray(r_staged["smpl_params"][k]),
+                np.asarray(r_fused["smpl_params"][k]), atol=1e-5)
+        # the object stage is NOT float-identical: the fused program fuses
+        # differently, and a 1-ulp df difference flips the generator's
+        # argsort compaction -> different selected points -> the object
+        # init/means shift at the mm level (measured ~8 mm here). The
+        # tolerance below catches wiring bugs (wrong key / swapped
+        # human-object clouds / missing sil data move obj_t by >> 5 cm)
+        # while allowing that chaotic amplification.
+        np.testing.assert_allclose(
+            np.asarray(r_staged["obj_params"]["obj_t"]),
+            np.asarray(r_fused["obj_params"]["obj_t"]), atol=5e-2)
+        np.testing.assert_allclose(
+            np.asarray(r_staged["obj_params"]["obj_s"]),
+            np.asarray(r_fused["obj_params"]["obj_s"]), atol=1e-2)
+        assert np.isfinite(np.asarray(r_fused["obj_R"])).all()
+        assert (np.asarray(r_fused["pclouds"]["object"]["points"]).shape
+                == np.asarray(r_staged["pclouds"]["object"]["points"]).shape)
+
+    def test_fused_no_silhouette(self, fitter):
+        import dataclasses
+
+        images, cc, poses, betas, kpts = _batch()
+        fused = ReconFitter(
+            fitter.model, fitter.params, fitter.smplh,
+            fitter.template_verts, fitter.template_faces,
+            cfg=dataclasses.replace(FIT, fused_pipeline=True),
+            sampler_cfg=SAMP)
+        r = fused.fit_batch(images, cc, poses, betas, kpts,
+                            use_silhouette=False)
+        assert np.isfinite(np.asarray(r["obj_params"]["obj_t"])).all()
+
+
 class TestShardedFit:
     def test_mesh_sharded_matches_single(self):
         """B=8 frames sharded over the 8-device mesh must reproduce the

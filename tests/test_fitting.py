@@ -138,11 +138,36 @@ class TestPhaseRunner:
             return l, {"l": l}
 
         params = {"x": jnp.zeros(3), "frozen": jnp.zeros(2)}
-        spec = PhaseSpec(lr=0.1, n_iters=50, steps_per_iter=10,
+        # steps_per_iter=1: with the reference's per-OUTER-iteration
+        # zero_grad (recon_fit_behave.py:243,273), >1 inner steps
+        # accumulate gradients and Adam limit-cycles around the optimum
+        # (torch does the exact same: this toy at steps_per_iter=10 ends
+        # at x[0]=1.2723 in BOTH frameworks, matched to 5e-6 -- see
+        # tests/test_trajectory_parity.py for the oracle). Single-step
+        # iterations make accumulation a no-op so convergence is exact.
+        spec = PhaseSpec(lr=0.1, n_iters=500, steps_per_iter=1,
                          trainable=freeze_all_except(params, "x"))
         out, loss, n = run_phase(loss_fn, params, spec)
         assert np.allclose(out["x"], target, atol=1e-2)
         assert np.allclose(out["frozen"], 0.0)
+
+    def test_accumulated_grads_match_torch_adam(self):
+        # reference semantics: zero_grad once per outer iteration, 10
+        # backward+step calls accumulate (recon_fit_behave.py:243,266-281).
+        # Endpoint pinned from torch.optim.Adam run with that exact loop:
+        # [1.2723281, -1.9999301, 3.000001] (limit cycle, NOT the optimum).
+        target = jnp.array([1.0, -2.0, 3.0])
+
+        def loss_fn(params, decay, key):
+            l = jnp.sum((params["x"] - target) ** 2)
+            return l, {"l": l}
+
+        params = {"x": jnp.zeros(3)}
+        spec = PhaseSpec(lr=0.1, n_iters=50, steps_per_iter=10)
+        out, _, _ = run_phase(loss_fn, params, spec)
+        np.testing.assert_allclose(
+            np.asarray(out["x"]), [1.2723281, -1.9999301, 3.000001],
+            atol=1e-4)
 
     def test_early_stop_triggers(self):
         # the reference plateau rule is scale-dependent

@@ -98,7 +98,12 @@ class TestOddSizes:
         want = np.asarray(R.soft_silhouette(ndc, faces, image_size=200))
         got = np.asarray(
             sil_mod.soft_silhouette_pallas(ndc, faces, image_size=200))
-        np.testing.assert_allclose(got, want, atol=1e-5)
+        # the two paths evaluate the same distances through different
+        # algebra (ev/len vs pre-scaled coefficients; /sigma vs *inv_sigma),
+        # so on a handful of pixels the edge-vs-edge / edge-vs-box argmin
+        # flips at f32 (measured: 2/40000 pixels differ by >1e-5 here);
+        # both routings are valid subgradients of the same min
+        np.testing.assert_allclose(got, want, atol=5e-5)
 
         def loss(fn, t):
             sil = fn(ndc + t[None, None], faces, image_size=200)
@@ -108,9 +113,33 @@ class TestOddSizes:
             lambda t: loss(R.soft_silhouette, t))(jnp.zeros(3)))
         g_pal = np.asarray(jax.grad(
             lambda t: loss(sil_mod.soft_silhouette_pallas, t))(jnp.zeros(3)))
-        # checks padding correctness (dropped pixels would change the mean
-        # by 1.6%), not float summation order
-        np.testing.assert_allclose(g_pal, g_xla, rtol=2e-3, atol=1e-7)
+        # cross-path sanity only: the tie flips above hit ~3/66 vertex
+        # grads at ~1e-4 absolute, so this cannot be tight. Padding
+        # correctness is guarded by test_padding_is_exact below.
+        np.testing.assert_allclose(g_pal, g_xla, rtol=5e-2, atol=5e-4)
+
+    def test_padding_is_exact(self, scene):
+        """Same-algebra guard for the pixel-padding plumbing: 200^2=40000
+        pads 448 zero rows at tile_p=512 and pads NOTHING at tile_p=800.
+        Forward and backward must agree to float-sum tolerance -- a
+        truncated/misaligned pad (the bug this class exists for) shifts
+        whole pixel rows. The cross-path check above can't see this at
+        sub-percent level through the argmin tie-flip noise."""
+        ndc, faces = scene
+        sigma = 0.5 * (2.0 / 200)
+        e = sil_mod.edge_coeffs(ndc[0], faces, sigma)
+        inv = 1.0 / sigma
+        f_pad = np.asarray(sil_mod._coverage_fwd_call(
+            e, 200, inv, tile_p=512))
+        f_exact = np.asarray(sil_mod._coverage_fwd_call(
+            e, 200, inv, tile_p=800))
+        np.testing.assert_allclose(f_pad, f_exact, atol=1e-6)
+        g = jnp.asarray(np.random.RandomState(3).rand(40000), jnp.float32)
+        b_pad = np.asarray(sil_mod._coverage_bwd_call(
+            e, g, 200, inv, tile_p=512))
+        b_exact = np.asarray(sil_mod._coverage_bwd_call(
+            e, g, 200, inv, tile_p=800))
+        np.testing.assert_allclose(b_pad, b_exact, rtol=1e-5, atol=1e-6)
 
     def test_empty_faces_render_empty(self):
         empty = jnp.zeros((0, 3), jnp.int32)

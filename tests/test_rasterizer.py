@@ -30,21 +30,44 @@ def square_mesh(z=2.0, half=0.5, cx=0.0, cy=0.0):
 
 class TestProjection:
     def test_unit_k_center(self):
-        # a point on the optical axis lands at NDC (2cx-1, 2(1-cy)-1)
+        # a point on the optical axis lands at NDC (2cx-1, 2cy-1)
         K = jnp.array([[[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]]])
         verts = jnp.array([[[0.0, 0.0, 2.0]]])
         ndc = project_unit_k(verts, K)
         assert np.allclose(ndc[0, 0, :2], 0.0, atol=1e-6)
         assert np.allclose(ndc[0, 0, 2], 2.0)
 
-    def test_v_flip(self):
-        # +y in camera space goes DOWN in image -> NDC v increases
+    def test_photo_orientation(self):
+        # +y in camera space goes DOWN in the image; our rasterizers put
+        # ndc v=-1 at row 0, so v must INCREASE with camera y for rendered
+        # images to match the photo / net-input masks. (NMR flips v in
+        # projection but also reverses output rows -- the two cancel;
+        # projection.py:39 + rasterize.py:319-331.)
         K = jnp.array([[[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]]])
         up = project_unit_k(jnp.array([[[0.0, -0.1, 1.0]]]), K)
         down = project_unit_k(jnp.array([[[0.0, 0.1, 1.0]]]), K)
-        assert float(up[0, 0, 1]) > float(down[0, 0, 1]) or True
-        # NMR: v = 1 - (fy*y/z + cy); y>0 -> smaller v -> smaller ndc y
-        assert float(down[0, 0, 1]) < float(up[0, 0, 1])
+        assert float(down[0, 0, 1]) > float(up[0, 0, 1])
+
+    def test_matches_model_camera(self):
+        # project_unit_k with the full-image kinect K must agree with
+        # PerspectiveCamera.project_points (no crop): one projection
+        # convention across the whole stack
+        from chore_tpu.ops.camera import PerspectiveCamera
+
+        cam = PerspectiveCamera()
+        K = jnp.array([[[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy],
+                        [0, 0, 1.0]]])
+        pts = jnp.array([[[0.1, -0.2, 2.0], [-0.3, 0.4, 3.1],
+                          [0.0, 0.0, 2.2]]])
+        ndc_k = project_unit_k(pts, K)
+        ndc_cam = cam.project_points(pts)
+        # project_points normalizes y by height (0.75*width): rescale
+        np.testing.assert_allclose(
+            np.asarray(ndc_k[..., 0]), np.asarray(ndc_cam[..., 0]),
+            atol=1e-5)
+        vk = np.asarray(ndc_k[..., 1])
+        vc = np.asarray(ndc_cam[..., 1])
+        np.testing.assert_allclose((vk + 1.0), (vc + 1.0) * 0.75, atol=1e-5)
 
 
 class TestSoftSilhouette:

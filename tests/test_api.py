@@ -27,6 +27,7 @@ def frame_dir(tmp_path_factory):
     return os.path.join(str(seq), "t0005.000")
 
 
+@pytest.mark.slow  # full fit pipeline x2 (~6 min)
 class TestReconstructor:
     def test_one_call_and_save(self, frame_dir, tmp_path):
         from chore_tpu.api import Reconstructor

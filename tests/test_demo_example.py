@@ -24,6 +24,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+@pytest.mark.slow  # demo CLI e2e (~1.5 min)
 def test_run_demo_on_real_example(tmp_path):
     from chore_tpu.cli.demo import run_demo
 

@@ -8,6 +8,8 @@ This suite pins that property -- the closest thing to a race detector a
 single-host test can be: any data race or nondeterministic reduction in
 the jitted stages would break bitwise equality.
 """
+import pytest
+
 import numpy as np
 
 import jax
@@ -25,6 +27,7 @@ def _tree_equal(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow  # two full fits (~1.5 min)
 class TestFitDeterminism:
     def test_fit_batch_bitwise_reproducible(self):
         model = CHOREField(cfg=TINY)
@@ -48,6 +51,7 @@ class TestFitDeterminism:
                     r2["pclouds"]["object"]["points"])
 
 
+@pytest.mark.slow  # two train compiles (~1.2 min)
 class TestTrainDeterminism:
     def test_train_step_bitwise_reproducible(self, tmp_path):
         from chore_tpu.train.trainer import Trainer

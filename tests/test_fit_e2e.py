@@ -96,6 +96,7 @@ class TestFitBatch:
         assert fitter._jit_fit_smpl._cache_size() == before
 
 
+@pytest.mark.slow  # compiles the whole-fit jit (~2 min)
 class TestFusedPipeline:
     def test_fused_matches_staged(self, fitter):
         """cfg.fused_pipeline folds the five stage dispatches into one jit;
@@ -150,6 +151,7 @@ class TestFusedPipeline:
         assert np.isfinite(np.asarray(r["obj_params"]["obj_t"])).all()
 
 
+@pytest.mark.slow  # 8-device mesh fit (~3.5 min)
 class TestShardedFit:
     def test_mesh_sharded_matches_single(self):
         """B=8 frames sharded over the 8-device mesh must reproduce the

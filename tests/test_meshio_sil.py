@@ -153,6 +153,7 @@ class TestEmptyMask:
         assert float(loss) == 0.0
 
 
+@pytest.mark.slow  # two sil-phase fits (~5 min)
 class TestOffscreenGuard:
     """Opt-in offscreen-degeneracy penalty (silhouette.offscreen_loss,
     equivalent of the reference's defined-but-unwired

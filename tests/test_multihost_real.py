@@ -2,6 +2,8 @@
 two actual jax processes, jax.distributed.initialize, per-host shard
 assembly, cross-host gradient reduction, broadcast-synced decisions.
 Complements tests/test_multihost.py's mocked-topology unit tests."""
+import pytest
+
 import os
 import subprocess
 import sys
@@ -9,6 +11,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow  # 2-process jax.distributed (~1.4 min)
 def test_two_process_training_step():
     env = {**os.environ, "JAX_PLATFORMS": "cpu",
            "CHORE_SMOKE_PORT": "12411", "CHORE_SMOKE_TIMEOUT": "420"}

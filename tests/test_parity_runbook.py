@@ -116,6 +116,7 @@ def _build_sequence(root):
     return seq
 
 
+@pytest.mark.slow  # tar->recon->eval e2e (~1 min)
 class TestParityRunbook:
     def test_tar_to_eval_json(self, tmp_path):
         rng = np.random.RandomState(0)
@@ -164,6 +165,7 @@ class TestParityRunbook:
         assert len(files) == 1  # timestamped JSON written
 
 
+@pytest.mark.slow  # recon CLI over mesh (~1.5 min)
 class TestDataParallelRecon:
     def test_recon_cli_over_mesh(self, tmp_path):
         """The --data-parallel recon path: batch padded to the device

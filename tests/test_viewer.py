@@ -1,6 +1,8 @@
 """FitMonitor debug visualization (utils/viewer.py) -- the headless-safe
 equivalent of the reference's MeshViewer/cv2 debug loops
 (recon_fit_base.py:442-511)."""
+import pytest
+
 import json
 import os
 
@@ -13,6 +15,7 @@ from chore_tpu.utils.viewer import FitMonitor
 
 
 class TestFitMonitor:
+    @pytest.mark.slow  # full fit with monitor (~1 min)
     def test_snapshot_writes_frames_and_losses(self, tmp_path):
         mon = FitMonitor(str(tmp_path))
         sv, sf = octasphere(radius=0.3, center=(0, 0, 2.2), subdiv=2)
@@ -36,6 +39,7 @@ class TestFitMonitor:
         assert mon.snapshot("nothing") is None
         assert os.listdir(tmp_path) == []
 
+    @pytest.mark.slow  # full fit with monitor (~1 min)
     def test_fit_batch_monitor_hook(self):
         """fit_batch(monitor=...) snapshots pclouds, smpl and object."""
         import jax.numpy as jnp

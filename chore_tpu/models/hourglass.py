@@ -69,9 +69,20 @@ class HGFilter(nn.Module):
     out_dim: int = 256
     dtype: jnp.dtype = jnp.float32
     remat: bool = False  # rematerialize each hourglass in the backward pass
+    # grouped_heads=True is the HGFilterGConv variant (reference:
+    # model/HGFilters.py:187-312, unused by the release config): the
+    # per-stack head (l{i}) and re-injection convs (bl{i}/al{i}) become
+    # depthwise 1x1 convs (groups == channels). Requires out_dim to be a
+    # multiple of features.
+    grouped_heads: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        head_groups = self.features if self.grouped_heads else 1
+        if self.grouped_heads and self.out_dim % self.features:
+            raise ValueError(
+                "grouped_heads requires out_dim % features == 0 "
+                f"(got {self.out_dim} % {self.features})")
         # Stem: 7x7 s2 -> 64ch at H/2 (the skip feature tmpx)
         x = nn.Conv(64, (7, 7), strides=2, padding=3, kernel_init=conv_init,
                     dtype=self.dtype, name="conv1")(x)
@@ -99,12 +110,15 @@ class HGFilter(nn.Module):
                          dtype=self.dtype, name=f"conv_last{i}")(ll)
             ll = nn.relu(group_norm(self.features, name=f"bn_end{i}")(ll))
             tmp_out = nn.Conv(self.out_dim, (1, 1), kernel_init=conv_init,
+                              feature_group_count=head_groups,
                               dtype=self.dtype, name=f"l{i}")(ll)
             outputs.append(tmp_out)
             if i < self.num_stack - 1:
                 ll = nn.Conv(self.features, (1, 1), kernel_init=conv_init,
+                             feature_group_count=head_groups,
                              dtype=self.dtype, name=f"bl{i}")(ll)
                 tmp_out_ = nn.Conv(self.features, (1, 1), kernel_init=conv_init,
+                                   feature_group_count=head_groups,
                                    dtype=self.dtype, name=f"al{i}")(tmp_out)
                 previous = previous + ll + tmp_out_
 

@@ -1,4 +1,4 @@
-from chore_tpu.ops.camera import PerspectiveCamera, Z0
+from chore_tpu.ops.camera import OrthographicCamera, PerspectiveCamera, Z0
 from chore_tpu.ops.chamfer import chamfer_eval, masked_chamfer_sq, nn_sqdist
 from chore_tpu.ops.grid_sample import bilinear_sample
 from chore_tpu.ops.point_mesh import point_mesh_udf
@@ -11,6 +11,7 @@ from chore_tpu.ops.rotation import (
 )
 
 __all__ = [
+    "OrthographicCamera",
     "PerspectiveCamera",
     "Z0",
     "chamfer_eval",

@@ -110,3 +110,24 @@ class PerspectiveCamera:
         else:
             nx, ny = self.normalize_crop(px, py, crop_center)
         return jnp.concatenate([nx, ny, points[..., 2:3]], axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class OrthographicCamera:
+    """Approximate orthographic camera (reference: model/camera.py:91-99
+    ``KinectOrthCamera`` — defined but unused by the release pipeline).
+
+    Assumes points are already expressed relative to the SMPL center in
+    normalized units; ``project_points`` is the identity on xy with depth
+    passed through. ``scale`` shrinks the person so the object fits the
+    frame (the reference stores but never applies it — kept for schema
+    parity). Output stays channels-last (B, N, 3); the reference transposes
+    to (B, 3, N).
+    """
+
+    load_size: int = 512
+    scale: float = 0.75
+
+    def project_points(self, points, crop_center=None):
+        del crop_center  # orthographic: no crop-dependent re-centering
+        return jnp.asarray(points)

@@ -88,6 +88,46 @@ class TestHGFilter:
         assert all(np.allclose(l, 0.0) for l in leaves)
 
 
+class TestHGFilterGConv:
+    """grouped_heads=True is the HGFilterGConv variant (reference:
+    model/HGFilters.py:187-312): l/bl/al become depthwise 1x1 convs."""
+
+    def test_shapes_and_param_tree_names(self, rng):
+        x = jnp.asarray(rng.randn(1, 32, 32, 5).astype(np.float32))
+        hg = HGFilter(num_stack=2, depth=1, features=8, out_dim=8,
+                      grouped_heads=True)
+        params = hg.init(jax.random.PRNGKey(0), x)
+        outs, tmpx, normx = hg.apply(params, x)
+        assert len(outs) == 2 and outs[0].shape == (1, 8, 8, 8)
+        # same module names as HGFilter; only the head kernels shrink
+        dense = HGFilter(num_stack=2, depth=1, features=8,
+                         out_dim=8).init(jax.random.PRNGKey(0), x)
+        assert set(params["params"]) == set(dense["params"])
+        assert params["params"]["l0"]["kernel"].shape == (1, 1, 1, 8)
+        assert dense["params"]["l0"]["kernel"].shape == (1, 1, 8, 8)
+
+    def test_head_is_depthwise(self, rng):
+        # groups == channels: output channel c of l{i} must depend ONLY on
+        # input channel c (reference HGFilters.py:251-255 groups=256).
+        import flax.linen as nn
+        from chore_tpu.models.layers import conv_init
+        conv = nn.Conv(8, (1, 1), feature_group_count=8,
+                       kernel_init=conv_init)
+        x = jnp.asarray(rng.randn(1, 4, 4, 8).astype(np.float32))
+        p = conv.init(jax.random.PRNGKey(1), x)
+        base = conv.apply(p, x)
+        bumped = conv.apply(p, x.at[..., 3].add(1.0))
+        changed = np.abs(np.asarray(bumped - base)).sum(axis=(0, 1, 2)) > 0
+        assert changed.tolist() == [False] * 3 + [True] + [False] * 4
+
+    def test_out_dim_must_tile_features(self):
+        hg = HGFilter(num_stack=1, depth=1, features=8, out_dim=12,
+                      grouped_heads=True)
+        x = jnp.zeros((1, 16, 16, 5))
+        with pytest.raises(ValueError, match="grouped_heads"):
+            hg.init(jax.random.PRNGKey(0), x)
+
+
 class TestCHOREField:
     def test_forward_shapes(self, field_model, rng):
         model, params = field_model

@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from chore_tpu.ops import (
+    OrthographicCamera,
     PerspectiveCamera,
     align_points,
     axis_angle_to_matrix,
@@ -53,11 +54,22 @@ class TestCamera:
         crop_center = jnp.array([[px_target, py_target]])
         out = cam.project_points(pts, crop_center)
         assert np.allclose(out[0, 0, :2], 0.0, atol=1e-5)
+
         assert np.allclose(out[0, 0, 2], z)
         # A point projecting crop_size/2 to the right maps to nx = +1.
         x2 = (px_target + 600.0 - cam.cx_px) * z / cam.fx_px
         out2 = cam.project_points(jnp.array([[[x2, y, z]]]), crop_center)
         assert np.allclose(out2[0, 0, 0], 1.0, atol=1e-5)
+
+    def test_orthographic_identity(self, rng):
+        # KinectOrthCamera (reference: model/camera.py:91-99) projects
+        # SMPL-centered points by identity; crop_center is ignored.
+        cam = OrthographicCamera()
+        assert cam.load_size == 512 and cam.scale == 0.75
+        pts = rng.randn(2, 7, 3).astype(np.float32)
+        out = cam.project_points(jnp.asarray(pts),
+                                 crop_center=jnp.zeros((2, 2)))
+        assert np.allclose(out, pts)
 
 
 class TestBilinearSample:

@@ -130,7 +130,7 @@ class DataLoader:
             # thread forever, pinning staged batches and the worker pool
             while not stop.is_set():
                 try:
-                    q.put(item, timeout=0.02)
+                    q.put(item, timeout=0.1)
                     return True
                 except queue.Full:
                     continue
@@ -143,20 +143,19 @@ class DataLoader:
             try:
                 if self.worker_type == "process" and self.num_workers > 0:
                     pool = self._process_pool()
-                    # one batch in flight ahead: submit batch i+1 before
-                    # collecting/collating batch i, so the workers never
-                    # idle while the producer thread collates + enqueues
-                    pending = None
+                    # blocking map per batch, deliberately NOT pipelined
+                    # one-ahead with map_async: measured on a 1-core host
+                    # (the deployment shape here), working ahead has no
+                    # idle cores to use and only adds result-handler GIL
+                    # traffic concurrent with step dispatch — the driver
+                    # bench's loader_overlap_ratio regressed 1.09 -> 1.77
+                    # with pipelining and recovered on this revert
+                    # (BASELINE.md round 5)
                     for b in batches:
                         if stop.is_set():
                             return
-                        nxt = pool.map_async(_worker_get, list(b))
-                        if pending is not None:
-                            if not put_or_stop(collate(pending.get())):
-                                return
-                        pending = nxt
-                    if pending is not None and not stop.is_set():
-                        if not put_or_stop(collate(pending.get())):
+                        items = pool.map(_worker_get, list(b))
+                        if not put_or_stop(collate(items)):
                             return
                 else:
                     with ThreadPoolExecutor(max(self.num_workers, 1)) as pool:
@@ -220,7 +219,7 @@ def prefetch_to_device(iterator, size=2, transfer=None):
         # pinning staged device batches and the source loader's workers
         while not stop.is_set():
             try:
-                q.put(item, timeout=0.02)
+                q.put(item, timeout=0.1)
                 return True
             except queue.Full:
                 continue

@@ -121,8 +121,12 @@ class OrthographicCamera:
     normalized units; ``project_points`` is the identity on xy with depth
     passed through. ``scale`` shrinks the person so the object fits the
     frame (the reference stores but never applies it — kept for schema
-    parity). Output stays channels-last (B, N, 3); the reference transposes
-    to (B, 3, N).
+    parity). Note the reference's __init__ ignores its ``loadSize``
+    argument and hardcodes 512 (model/camera.py:93 — likely a reference
+    bug); we store the caller's value, a documented deviation that is
+    inert in the release pipeline (the class is dead code there too).
+    Output stays channels-last (B, N, 3); the reference transposes to
+    (B, 3, N).
     """
 
     load_size: int = 512

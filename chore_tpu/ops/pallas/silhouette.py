@@ -72,31 +72,77 @@ def _box_d(pxs, pys, e0_ref, sl):
                        jnp.minimum(pys - by0, by1 - pys))
 
 
-def _fwd_kernel(pix_ref, e0_ref, e1_ref, e2_ref, out_ref, *, tile_f):
+def _tile_y_range(image_size, tile_p, inv_sigma):
+    """This grid step's pixel-tile y extent in SCALED (1/sigma) NDC units.
+
+    Pixel tiles are TILE_P consecutive row-major pixels = whole image rows
+    (plus zero-padded rows past P on the last tile, which carry zero
+    upstream gradient and are sliced off forward, so overshooting the row
+    range there is harmless -- it only makes the cull conservative)."""
+    t = pl.program_id(0)
+    r0 = (t * tile_p) // image_size
+    r1 = jnp.minimum(((t + 1) * tile_p - 1) // image_size, image_size - 1)
+    scale = inv_sigma / image_size
+    y_lo = (2.0 * r0.astype(jnp.float32) + 1.0) * scale - inv_sigma
+    y_hi = (2.0 * r1.astype(jnp.float32) + 1.0) * scale - inv_sigma
+    return y_lo, y_hi
+
+
+def _chunk_hit(b_ref, j, y_lo, y_hi, inv_sigma):
+    """True iff face-chunk j's union AABB, dilated by the coverage window,
+    can reach any pixel of this tile. Everything is pre-scaled by 1/sigma,
+    so the window radius is exactly COVERAGE_CUTOFF. A miss means every
+    pixel of the tile is > CUTOFF*sigma outside every face AABB of the
+    chunk, hence dmin < -CUTOFF for all of them and the chunk's forward
+    coverage AND backward sigmoid derivative are exactly zero -- skipping
+    is exact, not approximate. Pixel tiles span the full image width, so
+    the y test is per-tile; the x test only fires when the chunk hangs
+    fully off the screen (pixel x covers (-inv_sigma, inv_sigma))."""
+    y_hit = ((b_ref[j, 2] <= y_hi + COVERAGE_CUTOFF)
+             & (b_ref[j, 3] >= y_lo - COVERAGE_CUTOFF))
+    x_hit = ((b_ref[j, 0] <= inv_sigma + COVERAGE_CUTOFF)
+             & (b_ref[j, 1] >= -inv_sigma - COVERAGE_CUTOFF))
+    return y_hit & x_hit
+
+
+def _fwd_kernel(pix_ref, e0_ref, e1_ref, e2_ref, b_ref, out_ref, *,
+                tile_f, image_size, inv_sigma):
     n_chunks = e0_ref.shape[1] // tile_f
     px = pix_ref[:, 0:1]  # (TILE_P, 1)
     py = pix_ref[:, 1:2]
     pxs = pix_ref[:, 2:3]  # px / sigma (for the AABB cap)
     pys = pix_ref[:, 3:4]
+    y_lo, y_hi = _tile_y_range(image_size, px.shape[0], inv_sigma)
 
-    def chunk(j, acc):
-        sl = pl.ds(j * tile_f, tile_f)
-        d0 = _edge_d(px, py, e0_ref, sl)
-        d1 = _edge_d(px, py, e1_ref, sl)
-        d2 = _edge_d(px, py, e2_ref, sl)
-        dmin = jnp.minimum(jnp.minimum(jnp.minimum(d0, d1), d2),
-                           _box_d(pxs, pys, e0_ref, sl))
-        # windowed support (see rasterizer.COVERAGE_CUTOFF): far tails
-        # must be exactly 0 or thousands of faces sum to >0.5 background
-        cov = jnp.where(dmin > -COVERAGE_CUTOFF, jax.nn.sigmoid(dmin), 0.0)
-        return acc + jnp.sum(cov, axis=1, keepdims=True)
+    out_ref[:] = jnp.zeros_like(out_ref)
 
-    acc = jnp.zeros((px.shape[0], 1), jnp.float32)
-    out_ref[:] = jax.lax.fori_loop(0, n_chunks, chunk, acc)
+    def chunk(j, _):
+        # tile-level face culling (the TPU analog of NMR's face binning,
+        # reference rasterize_cuda_kernel.cu:25-95): with the windowed
+        # support most (pixel tile, face chunk) pairs contribute exactly
+        # zero; one scalar AABB test skips all their VPU work
+        @pl.when(_chunk_hit(b_ref, j, y_lo, y_hi, inv_sigma))
+        def _do():
+            sl = pl.ds(j * tile_f, tile_f)
+            d0 = _edge_d(px, py, e0_ref, sl)
+            d1 = _edge_d(px, py, e1_ref, sl)
+            d2 = _edge_d(px, py, e2_ref, sl)
+            dmin = jnp.minimum(jnp.minimum(jnp.minimum(d0, d1), d2),
+                               _box_d(pxs, pys, e0_ref, sl))
+            # windowed support (see rasterizer.COVERAGE_CUTOFF): far tails
+            # must be exactly 0 or thousands of faces sum to >0.5 background
+            cov = jnp.where(dmin > -COVERAGE_CUTOFF,
+                            jax.nn.sigmoid(dmin), 0.0)
+            out_ref[:] += jnp.sum(cov, axis=1, keepdims=True)
+
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk, 0)
 
 
-def _bwd_kernel(pix_ref, e0_ref, e1_ref, e2_ref, g_ref,
-                de0_ref, de1_ref, de2_ref, *, tile_f):
+def _bwd_kernel(pix_ref, e0_ref, e1_ref, e2_ref, g_ref, b_ref,
+                de0_ref, de1_ref, de2_ref, *, tile_f, image_size,
+                inv_sigma):
     pi = pl.program_id(0)
 
     @pl.when(pi == 0)
@@ -106,72 +152,124 @@ def _bwd_kernel(pix_ref, e0_ref, e1_ref, e2_ref, g_ref,
         de2_ref[:] = jnp.zeros_like(de2_ref)
 
     n_chunks = e0_ref.shape[1] // tile_f
-    px = pix_ref[:, 0:1]  # (TILE_P, 1)
-    py = pix_ref[:, 1:2]
-    pxs = pix_ref[:, 2:3]
-    pys = pix_ref[:, 3:4]
     g = g_ref[:]  # (TILE_P, 1) upstream dL/d(raw coverage sum)
+    y_lo, y_hi = _tile_y_range(image_size, pix_ref.shape[0], inv_sigma)
+    # whole-tile skip on zero upstream gradient: the loss clips coverage
+    # to [0, 1], so every pixel deep INSIDE the object (raw sum > 1,
+    # which with an ROI-zoomed template is most of the frame) arrives
+    # with g == 0 exactly, as does the far background through the loss's
+    # keep-mask/windowed support. Their contributions are g * s * (1-s)
+    # = 0 for every face -- skipping the tile is exact.
+    tile_live = jnp.max(jnp.abs(g)) > 0.0
 
     def chunk(j, _):
-        sl = pl.ds(j * tile_f, tile_f)
-        d0 = _edge_d(px, py, e0_ref, sl)
-        d1 = _edge_d(px, py, e1_ref, sl)
-        d2 = _edge_d(px, py, e2_ref, sl)
-        t0 = pxs - e0_ref[3:4, sl]
-        t1 = e0_ref[4:5, sl] - pxs
-        t2 = pys - e0_ref[5:6, sl]
-        t3 = e0_ref[6:7, sl] - pys
-        dbox = jnp.minimum(jnp.minimum(t0, t1), jnp.minimum(t2, t3))
-        dedge = jnp.minimum(jnp.minimum(d0, d1), d2)
-        dmin = jnp.minimum(dedge, dbox)
-        s = jax.nn.sigmoid(dmin)
-        # same windowed support as forward (XLA-path parity)
-        ds = jnp.where(dmin > -COVERAGE_CUTOFF,
-                       g * s * (1.0 - s), 0.0)  # (TILE_P, TILE_F)
-        # min subgradient: first term attaining the min (argmin semantics;
-        # edges win a box tie to match jnp.minimum(dedge, dbox) autodiff)
-        mbox = dbox < dedge
-        m0 = (~mbox) & (d0 <= d1) & (d0 <= d2)
-        m1 = (~mbox) & ~m0 & (d1 <= d2)
-        m2 = (~mbox) & ~(m0 | m1)
-        for m, de_ref in ((m0, de0_ref), (m1, de1_ref), (m2, de2_ref)):
-            w = jnp.where(m, ds, 0.0)  # (TILE_P, TILE_F)
-            # d(coeffs): contract over the pixel tile on the VPU (sublane
-            # reduction); rows are [dA, dB, dC] = sum_p w * [px, py, 1]
-            dA = jnp.sum(w * px, axis=0, keepdims=True)  # (1, TILE_F)
-            dB = jnp.sum(w * py, axis=0, keepdims=True)
-            dC = jnp.sum(w, axis=0, keepdims=True)
-            de_ref[0:1, sl] += dA
-            de_ref[1:2, sl] += dB
-            de_ref[2:3, sl] += dC
-        # AABB rows (block 0, rows 3..6): d(t0)/d(xmin_s) = -1,
-        # d(t1)/d(xmax_s) = +1, etc., routed to the single active term
-        n0 = (t0 <= t1) & (t0 <= t2) & (t0 <= t3)
-        n1 = ~n0 & (t1 <= t2) & (t1 <= t3)
-        n2 = ~(n0 | n1) & (t2 <= t3)
-        n3 = ~(n0 | n1 | n2)
-        for n, row, sgn in ((n0, 3, -1.0), (n1, 4, 1.0),
-                            (n2, 5, -1.0), (n3, 6, 1.0)):
-            w = jnp.where(mbox & n, ds, 0.0)
-            de0_ref[row:row + 1, sl] += sgn * jnp.sum(w, axis=0,
-                                                      keepdims=True)
+        # both culls are exact (see _chunk_hit / tile_live above): a
+        # skipped (tile, chunk) pair accumulates exactly zero into every
+        # de row it would have touched
+        @pl.when(tile_live & _chunk_hit(b_ref, j, y_lo, y_hi, inv_sigma))
+        def _do():
+            _bwd_chunk(pix_ref, e0_ref, e1_ref, e2_ref, g,
+                       de0_ref, de1_ref, de2_ref, j, tile_f)
+
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk, 0)
 
 
+def _bwd_chunk(pix_ref, e0_ref, e1_ref, e2_ref, g,
+               de0_ref, de1_ref, de2_ref, j, tile_f):
+    """One live (pixel tile, face chunk) backward contraction."""
+    px = pix_ref[:, 0:1]
+    py = pix_ref[:, 1:2]
+    pxs = pix_ref[:, 2:3]
+    pys = pix_ref[:, 3:4]
+    sl = pl.ds(j * tile_f, tile_f)
+    d0 = _edge_d(px, py, e0_ref, sl)
+    d1 = _edge_d(px, py, e1_ref, sl)
+    d2 = _edge_d(px, py, e2_ref, sl)
+    t0 = pxs - e0_ref[3:4, sl]
+    t1 = e0_ref[4:5, sl] - pxs
+    t2 = pys - e0_ref[5:6, sl]
+    t3 = e0_ref[6:7, sl] - pys
+    dbox = jnp.minimum(jnp.minimum(t0, t1), jnp.minimum(t2, t3))
+    dedge = jnp.minimum(jnp.minimum(d0, d1), d2)
+    dmin = jnp.minimum(dedge, dbox)
+    s = jax.nn.sigmoid(dmin)
+    # same windowed support as forward (XLA-path parity)
+    ds = jnp.where(dmin > -COVERAGE_CUTOFF,
+                   g * s * (1.0 - s), 0.0)  # (TILE_P, TILE_F)
+    # min subgradient: first term attaining the min (argmin semantics;
+    # edges win a box tie to match jnp.minimum(dedge, dbox) autodiff)
+    mbox = dbox < dedge
+    m0 = (~mbox) & (d0 <= d1) & (d0 <= d2)
+    m1 = (~mbox) & ~m0 & (d1 <= d2)
+    m2 = (~mbox) & ~(m0 | m1)
+    for m, de_ref in ((m0, de0_ref), (m1, de1_ref), (m2, de2_ref)):
+        w = jnp.where(m, ds, 0.0)  # (TILE_P, TILE_F)
+        # d(coeffs): contract over the pixel tile on the VPU (sublane
+        # reduction); rows are [dA, dB, dC] = sum_p w * [px, py, 1]
+        dA = jnp.sum(w * px, axis=0, keepdims=True)  # (1, TILE_F)
+        dB = jnp.sum(w * py, axis=0, keepdims=True)
+        dC = jnp.sum(w, axis=0, keepdims=True)
+        de_ref[0:1, sl] += dA
+        de_ref[1:2, sl] += dB
+        de_ref[2:3, sl] += dC
+    # AABB rows (block 0, rows 3..6): d(t0)/d(xmin_s) = -1,
+    # d(t1)/d(xmax_s) = +1, etc., routed to the single active term
+    n0 = (t0 <= t1) & (t0 <= t2) & (t0 <= t3)
+    n1 = ~n0 & (t1 <= t2) & (t1 <= t3)
+    n2 = ~(n0 | n1) & (t2 <= t3)
+    n3 = ~(n0 | n1 | n2)
+    for n, row, sgn in ((n0, 3, -1.0), (n1, 4, 1.0),
+                        (n2, 5, -1.0), (n3, 6, 1.0)):
+        w = jnp.where(mbox & n, ds, 0.0)
+        de0_ref[row:row + 1, sl] += sgn * jnp.sum(w, axis=0,
+                                                  keepdims=True)
+
+
+@functools.lru_cache(maxsize=16)
 def _pix_aug(image_size, inv_sigma):
     """(P, 8) pixel rows [px, py, px/sigma, py/sigma, 1, 0...] at NDC
-    pixel centers (the scaled columns feed the AABB cap)."""
-    coords = (2.0 * jnp.arange(image_size) + 1.0) / image_size - 1.0
-    gy, gx = jnp.meshgrid(coords, coords, indexing="ij")
+    pixel centers (the scaled columns feed the AABB cap).
+
+    Pure NUMPY on purpose: the arguments are jit-static, so this embeds as
+    an XLA constant that gets hoisted out of the fit's while_loops. As jnp
+    ops it was re-materialized EVERY optimizer step inside the loop body
+    (traced: concatenate.641 + broadcasts = ~150 ms of a 444 ms sil phase,
+    2 MB rebuilt 500x); XLA does not hoist non-constant producers from
+    while bodies."""
+    import numpy as np
+
+    coords = (2.0 * np.arange(image_size) + 1.0) / image_size - 1.0
+    gy, gx = np.meshgrid(coords, coords, indexing="ij")
     p = gx.size
     gx = gx.reshape(p, 1)
     gy = gy.reshape(p, 1)
-    return jnp.concatenate([
-        gx, gy, gx * inv_sigma, gy * inv_sigma, jnp.ones((p, 1)),
-        jnp.zeros((p, 3)),
-    ], axis=-1).astype(jnp.float32)
+    return np.concatenate([
+        gx, gy, gx * inv_sigma, gy * inv_sigma, np.ones((p, 1)),
+        np.zeros((p, 3)),
+    ], axis=-1).astype(np.float32)
+
+
+def _chunk_boxes(ep, tile_f):
+    """Per-face-chunk union AABBs for the in-kernel cull: (n_chunks, 4)
+    rows [xmin, xmax, ymin, ymax], pre-scaled by 1/sigma like the per-face
+    rows they union (ep[0] rows 3..6). Invalid/padding faces (C = -1e9)
+    are excluded via +/-big fills, so an all-padding chunk unions to an
+    empty box (min > max) and is never hit -- exact, they contribute zero
+    coverage anyway."""
+    valid = ep[0, 2] > -1e8  # (Fp,)
+    big = jnp.float32(4e9)
+    n = ep.shape[-1] // tile_f
+
+    def red(row, fill, fn):
+        vals = jnp.where(valid, ep[0, row], fill)
+        return fn(vals.reshape(n, tile_f), axis=1)
+
+    return jnp.stack([
+        red(3, big, jnp.min), red(4, -big, jnp.max),
+        red(5, big, jnp.min), red(6, -big, jnp.max),
+    ], axis=1)
 
 
 def _pad_inputs(e, image_size, tile_p, tile_f, inv_sigma):
@@ -185,7 +283,11 @@ def _pad_inputs(e, image_size, tile_p, tile_f, inv_sigma):
     pix = _pix_aug(image_size, inv_sigma)
     p = pix.shape[0]
     ppad = (-p) % tile_p
-    pix = jnp.pad(pix, ((0, ppad), (0, 0)))
+    if ppad:
+        # numpy pad: pix stays a trace-time constant (see _pix_aug)
+        import numpy as np
+
+        pix = np.pad(pix, ((0, ppad), (0, 0)))
     return ep, pix, p, tile_f
 
 
@@ -197,8 +299,10 @@ def _coverage_fwd_call(e, image_size, inv_sigma, tile_p=512, tile_f=512):
                                      inv_sigma)
     grid = (pix.shape[0] // tile_p,)
     fp = ep.shape[-1]
+    boxes = _chunk_boxes(ep, tile_f)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, tile_f=tile_f),
+        functools.partial(_fwd_kernel, tile_f=tile_f,
+                          image_size=image_size, inv_sigma=inv_sigma),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_p, 8), lambda t: (t, 0),
@@ -206,11 +310,13 @@ def _coverage_fwd_call(e, image_size, inv_sigma, tile_p=512, tile_f=512):
             pl.BlockSpec((8, fp), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, fp), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, fp), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(boxes.shape, lambda t: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((tile_p, 1), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((pix.shape[0], 1), jnp.float32),
-    )(pix, ep[0], ep[1], ep[2])
+    )(pix, ep[0], ep[1], ep[2], boxes)
     return out[:p, 0]
 
 
@@ -225,8 +331,10 @@ def _coverage_bwd_call(e, g, image_size, inv_sigma, tile_p=512, tile_f=512):
     g = jnp.pad(g, (0, pix.shape[0] - p))
     grid = (pix.shape[0] // tile_p,)
     fp = ep.shape[-1]
+    boxes = _chunk_boxes(ep, tile_f)
     de = pl.pallas_call(
-        functools.partial(_bwd_kernel, tile_f=tile_f),
+        functools.partial(_bwd_kernel, tile_f=tile_f,
+                          image_size=image_size, inv_sigma=inv_sigma),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_p, 8), lambda t: (t, 0),
@@ -236,6 +344,8 @@ def _coverage_bwd_call(e, g, image_size, inv_sigma, tile_p=512, tile_f=512):
             pl.BlockSpec((8, fp), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_p, 1), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(boxes.shape, lambda t: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((8, fp), lambda t: (0, 0), memory_space=pltpu.VMEM),
@@ -243,7 +353,7 @@ def _coverage_bwd_call(e, g, image_size, inv_sigma, tile_p=512, tile_f=512):
             pl.BlockSpec((8, fp), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((8, fp), jnp.float32)] * 3,
-    )(pix, ep[0], ep[1], ep[2], g[:, None].astype(jnp.float32))
+    )(pix, ep[0], ep[1], ep[2], g[:, None].astype(jnp.float32), boxes)
     return jnp.stack([d[:, :f] for d in de], axis=0)
 
 

@@ -72,6 +72,15 @@ class FitConfig:
     # recon_fit_base.py:373-384). Disable for deterministic
     # trajectory-parity oracles.
     svd_jitter: bool = True
+    # opt-in coarse-to-fine sigma annealing for the sil phase: the first
+    # iterations render with sigma widened by this factor, narrowing
+    # geometrically to 1x over `sil_anneal_levels` stages. Widened support
+    # gives distant-edge pixels gradient, growing the rotation-recovery
+    # basin for bad (e.g. in-the-wild/COCO) inits; the reference
+    # compensates with heavier regularization instead
+    # (recon_fit_coco.py:55-74). 1.0 = off (reference-exact schedule).
+    sil_sigma_anneal: float = 1.0
+    sil_anneal_levels: int = 4
     # opt-in offscreen-degeneracy guard for the sil phase (PHOSA's
     # defined-but-unwired compute_offscreen_loss,
     # reference: recon/obj_pose_roi.py:179-199): keeps a badly-initialized
@@ -313,9 +322,8 @@ class ReconFitter:
         # joint-phase device time at identical math)
         preds_h = query_fn(smpl_verts)
         smpl_center_pred = jnp.mean(preds_h["centers"][..., :3], axis=1)
-        trans_init = jax.lax.stop_gradient(obj_params["obj_t"])
 
-        def obj_losses(op, phase, decay, k):
+        def obj_losses(op, phase, decay, k, trans_init=None):
             ld = {}
             # ONE SO(3) projection per step shared by every term (the
             # reference projects once in forward_step and feeds the same
@@ -327,11 +335,38 @@ class ReconFitter:
                 R = project_so3(op["obj_R"])
             obj = self.transform_obj(op, R=R)
             if phase == "sil":
-                ld["mask"], _ = silhouette_loss(
-                    sil_data, self.template_verts, self.template_faces,
-                    R, op["obj_t"], op["obj_s"],
-                    cfg.sil_rend_size,
-                )
+                if cfg.sil_sigma_anneal > 1.0:
+                    # coarse-to-fine: a lax.switch over a few STATIC sigma
+                    # levels (sigma shapes kernel constants, so it cannot
+                    # be traced); level k renders at anneal^(1 - k/(L-1))
+                    # * default sigma, ending exactly at the release sigma
+                    nl = cfg.sil_anneal_levels
+                    base = 0.5 * (2.0 / cfg.sil_rend_size)
+                    sigmas = [
+                        base * cfg.sil_sigma_anneal ** (1.0 - kk / (nl - 1))
+                        for kk in range(nl)
+                    ]
+
+                    def mk(sig):
+                        return lambda args: silhouette_loss(
+                            sil_data, self.template_verts,
+                            self.template_faces, *args,
+                            cfg.sil_rend_size, sigma=sig)[0]
+
+                    # phase-local iteration from the decay argument (the
+                    # sil decay is it_local + 1, recon_fit_behave.py:145)
+                    it_local = jnp.asarray(decay, jnp.int32) - 1
+                    lvl = jnp.minimum((it_local * nl)
+                                      // max(cfg.iter_sil, 1), nl - 1)
+                    ld["mask"] = jax.lax.switch(
+                        lvl, [mk(sg) for sg in sigmas],
+                        (R, op["obj_t"], op["obj_s"]))
+                else:
+                    ld["mask"], _ = silhouette_loss(
+                        sil_data, self.template_verts, self.template_faces,
+                        R, op["obj_t"], op["obj_s"],
+                        cfg.sil_rend_size,
+                    )
                 ld["scale"] = L.scale_loss(op["obj_s"], cfg.obj_scale)
                 ld["trans"] = jnp.mean((op["obj_t"] - trans_init) ** 2)
                 if cfg.offscreen_guard:
@@ -371,10 +406,17 @@ class ReconFitter:
         # 'sil' x iter_sil, lr .006, decay it+1 (local it: the reference's
         # weight_decay = it - iter_for_obj + 1, recon_fit_behave.py:144-145)
         if use_sil:
+            # trans anchor captured AT SIL START, i.e. after the object-only
+            # phase moved obj_t (reference: recon_fit_behave.py:130-131 sets
+            # data_dict['trans_init'] at the it == iter_for_obj boundary).
+            # Anchoring to the pre-obj-phase init instead pulls obj_t back
+            # toward the raw network init during the sil phase.
+            trans_init = jax.lax.stop_gradient(obj_params["obj_t"])
             spec = PhaseSpec(lr=0.006, n_iters=cfg.iter_sil,
                              steps_per_iter=cfg.steps_per_iter)
             obj_params, prev, _ = self._run(
-                lambda p, it, k: obj_losses(p, "sil", it + 1.0, k),
+                lambda p, it, k: obj_losses(p, "sil", it + 1.0, k,
+                                            trans_init),
                 obj_params, spec, k2, prev, traces, "sil")
 
         # 'joint' x <= iter_joint_max + iter_joint, lr .002, t+s only,
@@ -475,7 +517,8 @@ class ReconFitter:
 
     # ------------------------------------------------------------------ #
     def fit_batch(self, images, crop_center, mocap_poses, mocap_betas,
-                  kpts2d, key=None, use_silhouette=True, monitor=None):
+                  kpts2d, key=None, use_silhouette=True, monitor=None,
+                  block_per_stage=False):
         """Full per-batch reconstruction (reference fit_recon,
         recon_fit_behave.py:29-76).
 
@@ -488,12 +531,18 @@ class ReconFitter:
           monitor: optional utils.viewer.FitMonitor; snapshots frame 0's
             state after each stage (the reference's MeshViewer debug loop,
             recon_fit_base.py:442-511).
+          block_per_stage: block on each stage's outputs inside its timer
+            phase, so ``timer.summary()`` reports true per-stage wall time
+            (device + dispatch) instead of async dispatch time. Adds host
+            syncs between stages — for profiling/bench breakdowns only,
+            never production.
 
         Returns dict with smpl params, object params, and the generated
         point clouds. When constructed with a mesh, B must be divisible by
         the device count (callers pad partial batches; see cli/recon.py).
         """
         key = key if key is not None else jax.random.PRNGKey(0)
+        sync = jax.block_until_ready if block_per_stage else (lambda x: x)
         if self.cfg.fused_pipeline and not self.record_traces \
                 and monitor is None:
             return self._fit_batch_fused(
@@ -523,10 +572,12 @@ class ReconFitter:
         # device time; use jax.profiler for device breakdowns.
         with self.timer.phase("encode"):
             feats, tmpx = self.generator.encode(images)
+            sync(feats)
         with self.timer.phase("generate_pclouds"):
             pc = self.generator.generate_from_feats(
                 feats, tmpx, crop_center, k_gen
             )
+            sync(pc)
 
         if monitor is not None:
             monitor.snapshot("pclouds", pclouds={
@@ -559,6 +610,7 @@ class ReconFitter:
                 smpl_params, scale, smpl_trace = out
             else:
                 smpl_params, scale = out
+            sync(smpl_params)
 
         # host-side cv2 ROI prep runs while the device crunches the SMPL
         # chain (the dispatch above is async); uses the host copies of the

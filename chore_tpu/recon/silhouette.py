@@ -164,7 +164,8 @@ class SilhouetteLossROI:
         return self.data["edt_ref"]
 
 
-def silhouette_loss(sil_data, template_verts, faces, R, t, s, rend_size=256):
+def silhouette_loss(sil_data, template_verts, faces, R, t, s, rend_size=256,
+                    sigma=None):
     """Pure silhouette loss: render the transformed template in the ROI and
     compare to the reference mask (reference: obj_pose_roi.py:159-172).
 
@@ -173,6 +174,9 @@ def silhouette_loss(sil_data, template_verts, faces, R, t, s, rend_size=256):
         (from SilhouetteLossROI.data).
       template_verts: (Vt, 3); faces: (Ft, 3).
       R: (B, 3, 3); t: (B, 3); s: (B,).
+      sigma: static coverage-sigmoid softness override (None = the
+        renderer's half-pixel default); the annealed sil phase passes
+        widened values early (see FitConfig.sil_sigma_anneal).
 
     Returns (loss scalar, rendered (B, S, S)).
     """
@@ -182,7 +186,8 @@ def silhouette_loss(sil_data, template_verts, faces, R, t, s, rend_size=256):
                        precision=jax.lax.Precision.HIGHEST)
     verts = (verts + t[:, None, :]) * s[:, None, None]
     ndc = project_unit_k(verts, sil_data["k_rois"])
-    image = soft_silhouette(ndc, jnp.asarray(faces), image_size=rend_size)
+    image = soft_silhouette(ndc, jnp.asarray(faces), image_size=rend_size,
+                            sigma=sigma)
     image = sil_data["keep_mask"] * image
     loss = jnp.sum((image - sil_data["image_ref"]) ** 2, axis=(1, 2)).mean()
     return loss, image

@@ -116,6 +116,9 @@ class StepTimer:
     def __init__(self):
         self._acc = defaultdict(list)
 
+    def reset(self):
+        self._acc.clear()
+
     @contextlib.contextmanager
     def phase(self, name):
         t0 = time.perf_counter()

@@ -54,7 +54,6 @@ class TestCamera:
         crop_center = jnp.array([[px_target, py_target]])
         out = cam.project_points(pts, crop_center)
         assert np.allclose(out[0, 0, :2], 0.0, atol=1e-5)
-
         assert np.allclose(out[0, 0, 2], z)
         # A point projecting crop_size/2 to the right maps to nx = +1.
         x2 = (px_target + 600.0 - cam.cx_px) * z / cam.fx_px

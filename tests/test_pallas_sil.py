@@ -148,3 +148,71 @@ class TestOddSizes:
         assert out.shape == (1, 32, 32) and (out == 0).all()
         fi, _, _ = R.hard_rasterize(ndc, empty, image_size=32)
         assert (np.asarray(fi) == -1).all()
+
+
+class TestCulling:
+    """The tile/chunk culls (chunk AABB vs pixel-tile y-range, zero-
+    upstream-gradient tile skip) claim to be EXACT. Different tile_p
+    values produce different skip patterns over the same math, so
+    agreement across tile_p is the direct test of that claim."""
+
+    def test_sparse_gradient_tile_skip_is_exact(self, scene):
+        """g zero outside a thin band (the clip-saturated-interior /
+        keep-masked shape the bwd tile_live skip exists for): results
+        must be identical across tile sizes, i.e. independent of WHICH
+        tiles get skipped."""
+        ndc, faces = scene
+        sigma = 0.5 * (2.0 / 64)
+        e = sil_mod.edge_coeffs(ndc[0], faces, sigma)
+        inv = 1.0 / sigma
+        g = np.zeros(64 * 64, np.float32)
+        g[64 * 20 : 64 * 22] = np.random.RandomState(0).randn(128)
+        g = jnp.asarray(g)
+        outs = [np.asarray(sil_mod._coverage_bwd_call(
+            e, g, 64, inv, tile_p=tp)) for tp in (256, 512, 1024)]
+        np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(outs[0], outs[2], rtol=1e-6, atol=1e-7)
+        assert np.abs(outs[0]).max() > 0  # the band actually hits faces
+
+    def test_all_zero_gradient_gives_zero(self, scene):
+        ndc, faces = scene
+        sigma = 0.5 * (2.0 / 64)
+        e = sil_mod.edge_coeffs(ndc[0], faces, sigma)
+        de = np.asarray(sil_mod._coverage_bwd_call(
+            e, jnp.zeros(64 * 64), 64, 1.0 / sigma))
+        assert (de == 0).all()
+
+    def test_offscreen_object_culls_to_zero(self, scene):
+        """Object fully off-screen in x: the chunk-AABB x test must skip
+        every (tile, chunk) pair, and the result must equal the XLA path
+        (all-zero coverage, finite zero-ish grads)."""
+        ndc, faces = scene
+        off = ndc + jnp.asarray([5.0, 0.0, 0.0])[None, None]
+        want = np.asarray(R.soft_silhouette(off, faces, image_size=64))
+        got = np.asarray(
+            sil_mod.soft_silhouette_pallas(off, faces, image_size=64))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        assert (got == 0).all()
+        g = np.asarray(jax.grad(lambda v: sil_mod.soft_silhouette_pallas(
+            v, faces, image_size=64).sum())(off))
+        assert np.isfinite(g).all() and (g == 0).all()
+
+    def test_object_far_below_frame_culls_in_y(self, scene):
+        ndc, faces = scene
+        off = ndc + jnp.asarray([0.0, 5.0, 0.0])[None, None]
+        got = np.asarray(
+            sil_mod.soft_silhouette_pallas(off, faces, image_size=64))
+        assert (got == 0).all()
+
+    def test_forward_tile_size_independent(self, scene):
+        """Forward y-cull exactness: same sums for every tile_p (hence
+        every tile-row partition)."""
+        ndc, faces = scene
+        sigma = 0.5 * (2.0 / 64)
+        e = sil_mod.edge_coeffs(ndc[0], faces, sigma)
+        inv = 1.0 / sigma
+        outs = [np.asarray(sil_mod._coverage_fwd_call(
+            e, 64, inv, tile_p=tp)) for tp in (256, 512, 1024)]
+        np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(outs[0], outs[2], rtol=1e-6, atol=1e-7)
+        assert outs[0].sum() > 50

@@ -67,7 +67,7 @@ def make_masks(chair_v, chair_f, R_gt, t_gt, s_gt, cc, net_input=512):
     return obj_visible.astype(np.float32), per.astype(np.float32)
 
 
-def run_study(subdiv=3, iters=50, rend=256, seed=0):
+def run_study(subdiv=3, iters=50, rend=256, seed=0, anneal=1.0):
     from chore_tpu.models import CHOREField, FieldConfig
     from chore_tpu.ops.rotation import project_so3
     from chore_tpu.recon.fitter import FitConfig, ReconFitter
@@ -107,7 +107,8 @@ def run_study(subdiv=3, iters=50, rend=256, seed=0):
                         jnp.zeros((1, 8, 3)), jnp.zeros((1, 2)))
     smplh = SMPLH(synthetic_smplh())
     cfg = FitConfig(iter_obj=0, iter_sil=iters, iter_joint=0,
-                    iter_joint_max=0, sil_rend_size=rend)
+                    iter_joint_max=0, sil_rend_size=rend,
+                    sil_sigma_anneal=anneal)
     fitter = ReconFitter(model, params, smplh, chair_v, chair_f, cfg=cfg)
     fitter.pca_init = jnp.eye(3)  # so pca_pred==R_init IS the init rotation
 
@@ -191,5 +192,8 @@ if __name__ == "__main__":
     ap.add_argument("--subdiv", type=int, default=3)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--rend", type=int, default=256)
+    ap.add_argument("--anneal", type=float, default=1.0,
+                    help="coarse-to-fine start sigma multiplier "
+                         "(FitConfig.sil_sigma_anneal; 1.0 = off)")
     args = ap.parse_args()
-    run_study(args.subdiv, args.iters, args.rend)
+    run_study(args.subdiv, args.iters, args.rend, anneal=args.anneal)

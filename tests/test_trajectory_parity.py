@@ -419,3 +419,227 @@ def test_object_trajectory_parity(ref_ns, torch_chore, shared_inputs,
     np.testing.assert_allclose(
         np.asarray(obj_params["obj_R"]), obj_R.detach().numpy(),
         atol=1e-2)
+
+
+class _FakePointclouds:
+    """pytorch3d.structures.Pointclouds stand-in: a ragged list holder
+    (the exact-chamfer stub below consumes it directly)."""
+
+    def __init__(self, points):
+        self.points = list(points)
+
+
+def _exact_chamfer(x, y):
+    """Exact brute-force CPU replacement for pytorch3d.loss.chamfer_distance
+    at its defaults (squared distances, point_reduction='mean' per cloud,
+    batch_reduction='mean', K=1 via full pairwise min): loss =
+    mean_clouds(mean_p min_q d2) + mean_clouds(mean_q min_p d2). No cdist
+    (its mm path is approximate); the expansion-free quadratic form is the
+    oracle."""
+    chx, chy = [], []
+    for p, q in zip(x.points, y.points):
+        d2 = ((p[:, None, :] - q[None, :, :]) ** 2).sum(-1)
+        chx.append(d2.min(1).values.mean())
+        chy.append(d2.min(0).values.mean())
+    return torch.stack(chx).mean() + torch.stack(chy).mean(), None
+
+
+class _ZeroSilLossROI:
+    """SilLossROI stand-in returning an exactly-zero mask loss: the mask
+    term and its gradient vanish on BOTH sides (ours via keep_mask=0 ->
+    loss (0*image - 0)^2 == 0 with zero grad), while the sil phase's
+    scale/trans regularizers, optimizer lifetime, decay schedule and
+    prev_loss threading still run for real and stay oracle-comparable.
+    The true mask gradient is CUDA-gated (NMR) and covered separately by
+    tests/test_pallas_sil.py + the convergence study."""
+
+    def __init__(self, *a, **k):
+        pass
+
+    def to(self, device):
+        return self
+
+    def __call__(self, R, t, s):
+        # scalar: sum_dict stacks the weighted losses (recon_fit_base.py:358)
+        return ({"mask": torch.zeros(())}, None, None, None, None)
+
+
+def test_joint_trajectory_parity(ref_ns, torch_chore, shared_inputs,
+                                 our_fitter):
+    """Full object-chain oracle through ALL THREE phases of the reference
+    optimize_smpl_object (recon_fit_behave.py:90-163): 'object only' (2
+    iters), 'sil' (the hardcoded 50 iters, mask term exactly zeroed on
+    both sides -- see _ZeroSilLossROI), and 'joint' (up to 100 iters of
+    Adam on (t, s) against field + ocent + CONTACT + scale, collide
+    zero-weighted: ours by weight table, the reference by a
+    zero-returning pen_distance stub -- mesh_intersection BVH is
+    CUDA-only). pytorch3d chamfer/Pointclouds are replaced by the exact
+    brute-force stubs above, so the torch side runs the REAL ragged
+    per-part contact gather (recon_fit_base.py:553-608) against our
+    fixed-shape masked grouped-NN implementation."""
+    from chore_tpu.models import CHOREField, FieldConfig
+    from chore_tpu.recon import losses as L
+    from chore_tpu.recon.fitter import FitConfig, ReconFitter
+    from chore_tpu.recon.silhouette import compute_k_roi
+    from chore_tpu.smpl.model import SMPLH, init_params
+    from chore_tpu.train.torch_import import convert_state_dict
+
+    inp = shared_inputs
+    rng = np.random.RandomState(7)
+    jitter = (1e-3 * rng.rand(3, 3)).astype(np.float32)
+
+    obj_points = (0.15 * rng.randn(600, 3)).astype(np.float32)
+    pca_init = np.linalg.qr(rng.randn(3, 3))[0].astype(np.float32)
+    pca_pred = (np.linalg.qr(rng.randn(3, 3))[0]
+                + 0.05 * rng.randn(3, 3)).astype(np.float32)
+    center_rel = np.array([[0.15, -0.05, 0.02]], np.float32)
+    scale0 = np.array([0.97], np.float32)
+    scan_v = (0.12 * np.random.RandomState(8).randn(64, 3)).astype(
+        np.float32)
+    scan_f = np.stack([np.arange(62), np.arange(1, 63),
+                       np.arange(2, 64)], 1)
+
+    # --- torch reference ------------------------------------------------
+    import recon.recon_fit_base as rfbase
+    import recon.recon_fit_behave as rfb
+
+    torch_chore.filter(
+        torch.from_numpy(inp["images"].transpose(0, 3, 1, 2)))
+    fitter_t = make_ref_fitter(ref_ns, net_in_size=S)
+    jit_t = torch.from_numpy(jitter)
+    base = ref_ns["ReconFitterBehave"]
+    orig_decopose = base.decopose_axis
+    base.decopose_axis = staticmethod(
+        lambda rot, no_rand=False: fitter_t.project_so3(rot + jit_t))
+    orig_sil = rfb.SilLossROI
+    rfb.SilLossROI = _ZeroSilLossROI
+    orig_cham = rfbase.chamfer_distance
+    orig_pc = rfbase.Pointclouds
+    rfbase.chamfer_distance = _exact_chamfer
+    rfbase.Pointclouds = _FakePointclouds
+
+    class _Scan:
+        v = scan_v
+
+    try:
+        fitter_t.obj_points = torch.from_numpy(obj_points)
+        fitter_t.pca_init = torch.from_numpy(pca_init)
+        fitter_t.scan = _Scan()
+        fitter_t.scan_faces = torch.from_numpy(scan_f.astype(np.int64))
+        fitter_t.search_tree = lambda tri: None
+        fitter_t.pen_distance = lambda tri, idx: torch.zeros(1)
+        fitter_t.part_names = [f"part{i}" for i in range(14)]
+        smpl = make_ref_smpl(ref_ns, inp["pose72"], inp["betas"],
+                             inp["human_t"])
+        pc_fake = {"object": {
+            "centers": torch.from_numpy(
+                np.concatenate([np.zeros((1, 3), np.float32),
+                                center_rel], 1)),
+            "pca_axis": torch.from_numpy(pca_pred[None]),
+        }}
+        obj_R, obj_s, obj_t, object_init = fitter_t.init_obj_fit_data(
+            1, torch.from_numpy(inp["human_t"]), pc_fake,
+            torch.from_numpy(scale0))
+        data_dict = {
+            "obj_R": obj_R, "obj_t": obj_t, "obj_s": obj_s,
+            "objects": object_init, "smpl": smpl,
+            "images": torch.from_numpy(
+                inp["images"].transpose(0, 3, 1, 2)),
+            "query_dict": {
+                "crop_center": torch.from_numpy(inp["crop_center"])},
+            "obj_t_init": obj_t.clone().detach(),
+        }
+        rec = LossRecorder(fitter_t)
+        fitter_t.optimize_smpl_object(
+            torch_chore, data_dict, obj_iter=2, joint_iter=0,
+            steps_per_iter=10)
+    finally:
+        base.decopose_axis = orig_decopose
+        rfb.SilLossROI = orig_sil
+        rfbase.chamfer_distance = orig_cham
+        rfbase.Pointclouds = orig_pc
+
+    # --- ours -----------------------------------------------------------
+    import chore_tpu.ops.rotation as rot_mod
+    import chore_tpu.recon.fitter as fitter_mod
+
+    model = CHOREField(cfg=FieldConfig(num_stack=2))
+    template = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 5)),
+        jnp.zeros((1, 8, 3)), jnp.zeros((1, 2)),
+    )
+    params, _ = convert_state_dict(torch_chore.state_dict(), template)
+    from chore_tpu.smpl.loader import synthetic_smplh
+
+    fitter_j = ReconFitter(
+        model, params, SMPLH(synthetic_smplh()), scan_v,
+        scan_f.astype(np.int32),
+        weights=dict(L.BEHAVE_WEIGHTS, collide=0.0),
+        cfg=FitConfig(iter_obj=2, iter_sil=50, iter_joint=0,
+                      iter_joint_max=100, net_in_size=S, svd_jitter=False,
+                      sil_rend_size=64),
+        record_traces=True)
+    fitter_j.obj_points = jnp.asarray(obj_points)
+    fitter_j.pca_init = jnp.asarray(pca_init)
+
+    # exactly-zero mask loss: keep_mask = image_ref = 0 everywhere
+    Z = np.zeros((1, 64, 64), np.float32)
+    sil_data = {
+        "image_ref": jnp.asarray(Z), "keep_mask": jnp.asarray(Z),
+        "edt_ref": jnp.asarray(Z),
+        "k_rois": jnp.asarray(compute_k_roi(
+            np.array([500.0, 400.0, 600.0, 600.0]))[None]),
+    }
+
+    jit_j = jnp.asarray(jitter)
+    orig_proj = rot_mod.project_so3
+    rot_mod.project_so3 = lambda m: orig_proj(m + jit_j)
+    fitter_mod.project_so3 = rot_mod.project_so3
+    try:
+        feats, tmpx = fitter_j.generator.encode(jnp.asarray(inp["images"]))
+        smpl_params = init_params(inp["pose72"], inp["betas"],
+                                  inp["human_t"])
+        obj_params, traces = jax.jit(
+            fitter_j._fit_object_pure, static_argnames=("use_sil",)
+        )(
+            fitter_j.params, feats, tmpx,
+            jnp.asarray(inp["crop_center"]), smpl_params,
+            jnp.asarray(center_rel), jnp.asarray(pca_pred[None]),
+            jnp.asarray(inp["human_t"]), jnp.asarray(scale0), sil_data,
+            jax.random.PRNGKey(0), use_sil=True,
+        )
+    finally:
+        rot_mod.project_so3 = orig_proj
+        fitter_mod.project_so3 = orig_proj
+
+    loss_j, live_j = _trace_concat(traces, ["obj", "sil", "joint"])
+    loss_t = np.asarray(rec.trace)
+
+    n_t, n_j = len(loss_t), int(live_j.sum())
+    # same phase schedule: obj 20 + sil 500 + joint steps; both sides must
+    # take the same early-stop decision in the joint phase
+    assert n_t > 520 and n_j > 520, (n_t, n_j)
+    assert n_j == n_t, f"step counts differ: ours {n_j} vs torch {n_t}"
+    loss_j = loss_j[live_j.astype(bool)]
+
+    rel = np.abs(loss_j - loss_t) / np.maximum(np.abs(loss_t), 1e-6)
+    # the whole object-only phase + the sil entry must track tightly; the
+    # sil phase is analytic (quadratic regularizers, zero mask) so it
+    # stays tight; the joint phase accumulates f32 chaos like the other
+    # trajectory oracles
+    assert rel[:25].max() < 1e-3, f"early trace diverged: {rel[:25]}"
+    assert rel[:520].max() < 2e-2, (
+        f"obj/sil trace diverged: max rel {rel[:520].max():.3e} at "
+        f"step {rel[:520].argmax()}")
+    assert rel.max() < 0.35, (
+        f"joint trace diverged: max rel {rel.max():.3e} at step "
+        f"{rel.argmax()}")
+    assert rel.mean() < 0.05, f"diverged on average: {rel.mean():.3e}"
+
+    # final parameters agree within the trajectory-noise envelope
+    np.testing.assert_allclose(
+        np.asarray(obj_params["obj_t"]), obj_t.detach().numpy(),
+        atol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(obj_params["obj_s"]), obj_s.detach().numpy(),
+        atol=1e-2)

@@ -144,7 +144,8 @@ def _signed_distance(pix, tri, eps=1e-12):
     return jnp.where(dbox < dmin, dbox, dmin)
 
 
-@functools.partial(jax.jit, static_argnames=("image_size", "face_tile"))
+@functools.partial(jax.jit,
+                   static_argnames=("image_size", "sigma", "face_tile"))
 def soft_silhouette(verts_ndc, faces, image_size=256, sigma=None,
                     face_tile=512):
     """Differentiable silhouette.

@@ -216,3 +216,24 @@ class TestCulling:
         np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6, atol=1e-7)
         np.testing.assert_allclose(outs[0], outs[2], rtol=1e-6, atol=1e-7)
         assert outs[0].sum() > 50
+
+
+class TestSigmaOverride:
+    def test_explicit_sigma_widens_and_differentiates(self, scene):
+        """Explicit (non-None) sigma must work through the jitted dispatch
+        (regression: soft_silhouette's jit traced sigma instead of
+        treating it as static, so any explicit float -- e.g. the annealed
+        sil phase's levels -- crashed the custom_vjp's nondiff plumbing)."""
+        ndc, faces = scene
+        base = 0.5 * (2.0 / 64)
+        narrow = np.asarray(R.soft_silhouette(ndc, faces, image_size=64,
+                                              sigma=base))
+        wide = np.asarray(R.soft_silhouette(ndc, faces, image_size=64,
+                                            sigma=4 * base))
+        # wider sigma smears coverage outward: strictly more pixels above
+        # a faint threshold, fewer fully-saturated ones
+        assert (wide > 0.01).sum() > (narrow > 0.01).sum()
+        g = np.asarray(jax.grad(lambda t: sil_mod.soft_silhouette_pallas(
+            ndc + t[None, None], faces, image_size=64,
+            sigma=4 * base).sum())(jnp.zeros(3)))
+        assert np.isfinite(g).all() and np.abs(g).max() > 0

@@ -57,6 +57,8 @@ def _batch(B=1):
 
 
 class TestFitBatch:
+    @pytest.mark.slow  # ~2 min compile+run; the no-sil path below
+    # plus the driver bench cover the fit per commit
     def test_full_pipeline(self, fitter):
         images, cc, poses, betas, kpts = _batch()
         result = fitter.fit_batch(images, cc, poses, betas, kpts,

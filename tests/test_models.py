@@ -279,6 +279,8 @@ class TestRemat:
     """remat=True must be a pure memory/FLOPs trade: identical parameter
     tree (checkpoint compat) and identical outputs/gradients."""
 
+    @pytest.mark.slow  # ~1.5 min; remat equivalence is an invariant
+    # only touched when the encoder changes
     def test_same_tree_and_outputs(self):
         import jax
         import jax.numpy as jnp

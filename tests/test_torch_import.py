@@ -250,6 +250,7 @@ class TestOptimizerImport:
             n for n, _ in model.named_parameters()
         ]
 
+    @pytest.mark.slow  # ~1 min torch+jax double trajectory oracle
     def test_resume_continues_torch_trajectory(self, torch_chore_opt,
                                                tmp_path):
         """Save a reference-layout .tar, Trainer.import_torch it, then take

@@ -224,6 +224,8 @@ class TestShardingScaling:
 
 
 class TestGraftEntry:
+    @pytest.mark.slow  # ~3 min; the driver runs this exact check
+    # itself every round (fast lane keeps the cheap entry checks)
     def test_dryrun_multichip_8(self):
         import sys
         sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
@@ -231,6 +233,7 @@ class TestGraftEntry:
 
         ge.dryrun_multichip(8)
 
+    @pytest.mark.slow  # ~2 min; driver-duplicated, see above
     def test_dryrun_subprocess_fallback(self):
         """A parent seeing fewer than n devices must re-exec the payload in
         a forced-CPU subprocess (the MULTICHIP_r01/r02 failure mode: an

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from chore_tpu.models.hourglass import HGFilter
-from chore_tpu.models.layers import conv_init
+from chore_tpu.models.layers import conv_init, one_hot_ce
 from chore_tpu.ops.camera import PerspectiveCamera
 from chore_tpu.ops.grid_sample import bilinear_sample, bilinear_sample_frozen
 
@@ -245,15 +245,8 @@ def chore_losses(preds_list, batch, cfg: FieldConfig):
         loss_h = jnp.abs(leaky_clip(df[..., 0], clamp) - df_h_gt).sum(-1).mean()
         loss_o = jnp.abs(leaky_clip(df[..., 1], clamp) - df_o_gt).sum(-1).mean()
 
-        logp = jax.nn.log_softmax(preds["parts"], axis=-1)
-        # one-hot multiply, NOT take_along_axis: bitwise-identical (the 13
-        # off-class terms are exactly 0.0) but fuses as a VPU elementwise
-        # pass; the gather form paid a strided per-stack gather on the
-        # 14-wide lane-padded tensor (~2.4 ms x 5 stacks per train step,
-        # round-5 trace fusion.8-12)
-        onehot = jax.nn.one_hot(batch["parts"].astype(jnp.int32),
-                                logp.shape[-1], dtype=logp.dtype)
-        loss_parts = (-jnp.sum(logp * onehot, axis=-1)).sum(-1).mean()
+        ce = one_hot_ce(preds["parts"], batch["parts"].astype(jnp.int32))
+        loss_parts = ce.sum(-1).mean()
 
         # masked mean over ALL elements (incl. masked-out), matching the
         # reference's (mse * mask).mean() (chore.py:213-226). The GT pca

@@ -118,3 +118,23 @@ def bicubic_upsample_2x(x):
 def avg_pool_2x(x):
     """2x2 stride-2 average pool, NHWC (reference: HGFilters.py:32,152)."""
     return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+def one_hot_ce(logits, labels):
+    """Per-element softmax cross-entropy via one-hot multiply.
+
+    Bitwise-identical to gathering the true-class log-probability with
+    take_along_axis (the off-class terms are exactly 0.0 and x + 0.0 == x
+    for finite x), but fuses as a VPU elementwise pass on TPU where the
+    gather form pays a strided per-call gather on the lane-padded class
+    dim (measured ~2.4 ms x 5 stacks per train step at (16, 20000, 14)).
+    Shared by the train loss (models/chore.py chore_losses) and the
+    fitting part-CE (recon/losses.py part_ce_loss).
+
+    logits: (..., C); labels: (...) int. Returns (...) CE values.
+    """
+    import jax
+
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    onehot = jax.nn.one_hot(labels, logp.shape[-1], dtype=logp.dtype)
+    return -jnp.sum(logp * onehot, axis=-1)

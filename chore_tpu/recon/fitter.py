@@ -323,7 +323,11 @@ class ReconFitter:
         preds_h = query_fn(smpl_verts)
         smpl_center_pred = jnp.mean(preds_h["centers"][..., :3], axis=1)
 
-        def obj_losses(op, phase, decay, k, trans_init=None):
+        def obj_losses(op, phase, decay, k, trans_init=None, it=0):
+            """``decay`` is the reference weight-decay argument; ``it`` is
+            the phase-LOCAL iteration (only the sil phase passes it, for
+            the anneal schedule -- never derive one from the other, their
+            relation differs per phase)."""
             ld = {}
             # ONE SO(3) projection per step shared by every term (the
             # reference projects once in forward_step and feeds the same
@@ -335,11 +339,12 @@ class ReconFitter:
                 R = project_so3(op["obj_R"])
             obj = self.transform_obj(op, R=R)
             if phase == "sil":
-                if cfg.sil_sigma_anneal > 1.0:
+                if cfg.sil_sigma_anneal > 1.0 and cfg.sil_anneal_levels > 1:
                     # coarse-to-fine: a lax.switch over a few STATIC sigma
                     # levels (sigma shapes kernel constants, so it cannot
                     # be traced); level k renders at anneal^(1 - k/(L-1))
-                    # * default sigma, ending exactly at the release sigma
+                    # * default sigma, ending exactly at the release
+                    # sigma. sil_anneal_levels <= 1 means annealing off.
                     nl = cfg.sil_anneal_levels
                     base = 0.5 * (2.0 / cfg.sil_rend_size)
                     sigmas = [
@@ -353,11 +358,9 @@ class ReconFitter:
                             self.template_faces, *args,
                             cfg.sil_rend_size, sigma=sig)[0]
 
-                    # phase-local iteration from the decay argument (the
-                    # sil decay is it_local + 1, recon_fit_behave.py:145)
-                    it_local = jnp.asarray(decay, jnp.int32) - 1
-                    lvl = jnp.minimum((it_local * nl)
-                                      // max(cfg.iter_sil, 1), nl - 1)
+                    lvl = jnp.minimum(
+                        (jnp.asarray(it, jnp.int32) * nl)
+                        // max(cfg.iter_sil, 1), nl - 1)
                     ld["mask"] = jax.lax.switch(
                         lvl, [mk(sg) for sg in sigmas],
                         (R, op["obj_t"], op["obj_s"]))
@@ -416,7 +419,7 @@ class ReconFitter:
                              steps_per_iter=cfg.steps_per_iter)
             obj_params, prev, _ = self._run(
                 lambda p, it, k: obj_losses(p, "sil", it + 1.0, k,
-                                            trans_init),
+                                            trans_init, it=it),
                 obj_params, spec, k2, prev, traces, "sil")
 
         # 'joint' x <= iter_joint_max + iter_joint, lr .002, t+s only,
@@ -543,8 +546,12 @@ class ReconFitter:
         """
         key = key if key is not None else jax.random.PRNGKey(0)
         sync = jax.block_until_ready if block_per_stage else (lambda x: x)
+        # block_per_stage needs the staged path: the fused pipeline is one
+        # dispatch with no stage boundaries to sync, so honoring the flag
+        # there would silently report a meaningless single-phase
+        # "breakdown"
         if self.cfg.fused_pipeline and not self.record_traces \
-                and monitor is None:
+                and monitor is None and not block_per_stage:
             return self._fit_batch_fused(
                 images, crop_center, mocap_poses, mocap_betas, kpts2d,
                 key, use_silhouette)

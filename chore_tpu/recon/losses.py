@@ -103,17 +103,10 @@ def pinit_loss(pose, pose_init):
 
 def part_ce_loss(parts_pred, part_labels):
     """Part-correspondence CE at SMPL verts, summed over verts
-    (recon_fit_behave.py:312). parts_pred (B, V, 14), labels (B, V).
+    (recon_fit_behave.py:312). parts_pred (B, V, 14), labels (B, V)."""
+    from chore_tpu.models.layers import one_hot_ce
 
-    One-hot multiply instead of take_along_axis: bitwise-identical (the
-    13 off-class terms are exactly 0.0 and x + 0.0 == x), but it fuses as
-    a VPU elementwise pass where the gather form paid a strided gather
-    per stack on a 14-wide (lane-padded 128) tensor — measured ~2.4 ms x
-    5 stacks per train step (round-5 trace, fusion.8-12)."""
-    logp = jax.nn.log_softmax(parts_pred, axis=-1)
-    onehot = jax.nn.one_hot(part_labels, logp.shape[-1], dtype=logp.dtype)
-    ce = -jnp.sum(logp * onehot, axis=-1)
-    return ce.sum(-1).mean()
+    return one_hot_ce(parts_pred, part_labels).sum(-1).mean()
 
 
 def j2d_loss(joints3d, kpts2d, crop_center, camera: PerspectiveCamera,

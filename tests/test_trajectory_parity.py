@@ -233,6 +233,20 @@ def test_smpl_trajectory_parity(ref_ns, torch_chore, shared_inputs,
     np.testing.assert_allclose(
         np.asarray(scale_j), scale_t.detach().numpy(), atol=0.02)
 
+    # final-GEOMETRY check: the per-parameter atols above bound each
+    # parameter independently; vertex RMS between the two fitted meshes
+    # is the aggregate that catches a SYSTEMATIC surface shift (wrong
+    # late-phase weight/decay) even when each parameter stays inside its
+    # own box. Measured floor 2026-08: 72.8 mm — consistent with the
+    # granted envelopes (trans atol alone is 80 mm); the oscillation
+    # noise, not a framework mismatch, dominates it. A mis-weighted
+    # late-phase term drags the surface decimeters within a few
+    # iterations, which this bound still catches.
+    verts_j = np.asarray(our_fitter.smplh.verts(smpl_params))
+    verts_t = smpl_out()[0].detach().numpy()
+    rms = float(np.sqrt(np.mean(np.sum((verts_j - verts_t) ** 2, -1))))
+    assert rms < 0.15, f"fitted-surface RMS {rms * 1000:.1f} mm"
+
 
 def test_smpl_kpts_adam_carry(ref_ns, torch_chore, shared_inputs,
                               smplh_arrays):

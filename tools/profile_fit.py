@@ -62,8 +62,8 @@ def main():
         t0 = time.time()
         run(k)
         dt = time.time() - t0
-        phases = {n: round(v * 1e3, 1)
-                  for n, v in fitter.timer.summary().items()}
+        phases = {n: round(s["mean_ms"], 1)
+                  for n, s in fitter.timer.summary().items()}
         print(f"run {k}: {dt:.3f}s  dispatch-phases(ms): {phases}",
               flush=True)
 

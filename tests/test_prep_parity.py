@@ -78,10 +78,16 @@ def ref_item(tmp_path_factory):
     cwd = os.getcwd()
     os.chdir(tmp)
     try:
-        from data.test_data import TestData
+        import data.test_data as ref_td
 
-        td = TestData([rgb], batch_size=1, num_workers=0,
-                      image_size=(512, 512), use_mean_center=False)
+        # full-suite robustness: the trajectory/generator oracles install
+        # their OWN psbody.mesh stub (without load_from_file) and import
+        # data.test_data first; `from psbody.mesh import Mesh` then binds
+        # their class into the cached module. Rebind ours explicitly so
+        # this fixture works regardless of which test file ran first.
+        ref_td.Mesh = _Mesh
+        td = ref_td.TestData([rgb], batch_size=1, num_workers=0,
+                             image_size=(512, 512), use_mean_center=False)
         item = td.get_item(0)
     finally:
         os.chdir(cwd)
